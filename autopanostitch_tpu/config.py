@@ -1,0 +1,183 @@
+"""Configuration for the TPU-native AutoPanoStitch pipeline.
+
+One frozen dataclass tree mirroring the reference's flat ``input.*`` struct
+(reference: `Procedural Program/inputs.m:1-126`), grouped per stage. Field
+names follow the reference where sensible so a user of the MATLAB pipeline
+can map their configuration 1:1.
+
+TPU-specific fields (capacities for fixed-shape/masked tensors, RANSAC batch
+sizes, mesh axes) have no reference equivalent and are grouped in
+:class:`TPUConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _frozen(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_frozen
+class DetectorConfig:
+    """SIFT / feature-detector parameters (reference `inputs.m:31-41`)."""
+
+    detector: str = "SIFT"  # 'SIFT' | 'HARRIS' | 'ORB' | 'BRISK' | 'FAST' | 'SURF'
+    sigma: float = 1.6  # inputs.m:34
+    num_layers_in_octave: int = 4  # inputs.m:35 (s: DoG layers usable per octave)
+    contrast_threshold: float = 0.00133  # inputs.m:36
+    edge_threshold: float = 6.0  # inputs.m:40
+    # TPU capacities (no reference equivalent: MATLAB returns ragged lists)
+    max_keypoints: int = 2048  # per-image keypoint capacity
+    num_octaves: int = 5
+    # descriptor geometry (Lowe's defaults, matching detectSIFTFeatures)
+    descriptor_width: int = 4  # 4x4 spatial bins
+    descriptor_bins: int = 8  # 8 orientation bins -> 128-d
+    upsample_input: bool = False  # run octave -1 (2x upsampled base), Lowe-style
+
+
+@_frozen
+class MatchingConfig:
+    """Feature matching (reference `inputs.m:44-59`)."""
+
+    k: int = 4  # Brown-Lowe k=4 nearest neighbours (inputs.m:44)
+    match_pairwise: bool = False  # inputs.m:46 matchFeaturesPairwise
+    method: str = "exhaustive"  # 'exhaustive' | 'approximate' (inputs.m:48)
+    threshold: float = 1.5  # match threshold, percent-like (inputs.m:52)
+    ratio_threshold: float = 0.6  # Lowe ratio (inputs.m:56)
+    max_matches_per_pair: int = 512  # TPU capacity for per-pair match lists
+
+
+@_frozen
+class ImageMatchConfig:
+    """Geometric verification (reference `inputs.m:61-74`)."""
+
+    method: str = "ransac"  # 'ransac' | 'mlesac' (inputs.m:63)
+    m_brown_lowe: int = 6  # candidate matches per image (inputs.m:65)
+    max_iter: int = 500  # inputs.m:68
+    max_distance: float = 5.5  # inlier distance in px (inputs.m:69)
+    inliers_confidence: float = 99.9  # inputs.m:72
+    transformation_type: str = "projective"  # inputs.m:73
+    # Brown-Lowe probabilistic match acceptance: ni > alpha + beta * nf
+    # (imageMatching.m:38-42,150): projective (8, 0.3); rigid (5, 0.025);
+    # affine/similarity/translation (5, 0.15)
+    accept_alpha: float = 8.0
+    accept_beta: float = 0.3
+    ransac_batch: int = 512  # hypotheses evaluated in parallel (TPU)
+    refine_irls_iters: int = 3  # weighted-DLT refit iterations on inliers
+
+
+@_frozen
+class BundleConfig:
+    """Bundle adjustment (reference `inputs.m:76-86`)."""
+
+    max_iter_lm: int = 40  # inputs.m:77
+    lambda0: float = 1e-3  # inputs.m:78
+    sigma_huber: float = 2.0  # inputs.m:79
+    focal_estimate_method: str = "shumSzeliskiOneHPaper"  # inputs.m:82
+    residual_one_direction: bool = False  # inputs.m:84
+    max_matches: int = 300  # per-edge match cap (inputs.m:85)
+    incremental_lm_iters: int = 10  # LM iters per incremental step (TPU)
+    # priors (bundleAdjustmentRKf.m buildBrownLowePrior)
+    theta_prior: float = 3.141592653589793 / 16.0
+    focal_prior_frac: float = 20.0  # prior sigma = mean_f / 20
+    focal_clamp: Tuple[float, float] = (100.0, 5000.0)
+    max_rotation_step_deg: float = 5.0
+    focal_step_fracs: Tuple[float, float, float] = (0.005, 0.01, 0.02)
+
+
+@_frozen
+class StraightenConfig:
+    """Straightening (reference `inputs.m:88-91`)."""
+
+    enabled: bool = True
+    up_angle_thresholds: Tuple[float, float, float] = (60.0, 60.0, 105.0)
+    theta_threshold: float = 90.0
+    force_planar_scan: bool = False
+
+
+@_frozen
+class GainConfig:
+    """Gain compensation (reference `inputs.m:93-96`)."""
+
+    enabled: bool = True
+    sigma_n: float = 10.0
+    sigma_g: float = 0.1
+    grid_stride: int = 5  # gainCompensationRKf.m:100-109 subsample stride
+    clamp: Tuple[float, float] = (0.25, 4.0)
+
+
+@_frozen
+class BlendConfig:
+    """Blending (reference `inputs.m:98-101`)."""
+
+    mode: str = "multiband"  # 'multiband' | 'linear' | 'none'
+    bands: int = 3
+    mbb_sigma: float = 1.0
+    compose_none_policy: str = "last"  # 'last' | 'first' | 'maxangle'
+
+
+@_frozen
+class RenderConfig:
+    """Rendering (reference `inputs.m:103-113` and renderPanorama.m:41-71)."""
+
+    projections: Tuple[str, ...] = ("spherical",)
+    resize_image: bool = True
+    height_limit: int = 800
+    width_limit: int = 800
+    angle_power: float = 1.0
+    margin: float = 0.01
+    max_megapixel: float = 50.0
+    robust_pct: Tuple[float, float] = (1.0, 99.0)
+    uv_abs_cap: float = 8.0
+    pixel_pad: float = 24.0
+    auto_ref: bool = True
+    crop_border: bool = True
+    tile: Tuple[int, int] = (512, 512)
+    canvas_color: str = "black"
+
+
+@_frozen
+class PostConfig:
+    """Post-processing (reference `inputs.m:115-125`)."""
+
+    black_range: int = 0
+    white_range: int = 250
+    crop_panorama: bool = False
+    image_write: bool = False
+    image_save_folder: str = "./results"
+
+
+@_frozen
+class TPUConfig:
+    """TPU-native execution knobs (no reference equivalent)."""
+
+    compute_dtype: str = "float32"  # descriptors/matmuls may use bf16
+    match_block: int = 1024  # query block in streaming top-k matching
+    mesh_axis: str = "data"  # mesh axis name for image/pair sharding
+    donate_buffers: bool = True
+
+
+@_frozen
+class StitchConfig:
+    """Top-level configuration (mirrors `inputs.m` as a whole)."""
+
+    detector: DetectorConfig = DetectorConfig()
+    matching: MatchingConfig = MatchingConfig()
+    image_match: ImageMatchConfig = ImageMatchConfig()
+    bundle: BundleConfig = BundleConfig()
+    straighten: StraightenConfig = StraightenConfig()
+    gain: GainConfig = GainConfig()
+    blend: BlendConfig = BlendConfig()
+    render: RenderConfig = RenderConfig()
+    post: PostConfig = PostConfig()
+    tpu: TPUConfig = TPUConfig()
+
+    def replace(self, **kw) -> "StitchConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> StitchConfig:
+    return StitchConfig()

@@ -1,0 +1,171 @@
+"""Image sampling / warping primitives (gather-based, XLA-fused).
+
+TPU-native equivalent of the reference's from-scratch warp stack:
+- bilinear / nearest / bicubic sampling  (`imageProcessing/imageWarp.m:108-302`)
+- inverse-homography warping onto a canvas (`imageWarp.m:39-101`)
+- separable linear feather weights        (`renderPanorama.m warpWeights :1282-1312`)
+
+All samplers take 0-based pixel coordinates (pixel centers at integers) and
+return 0 outside the image with a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _gather_2d(img: Array, xi: Array, yi: Array) -> Array:
+    """Clamped integer gather. img (H, W, C) or (H, W); xi/yi int32 (...,)."""
+    H, W = img.shape[0], img.shape[1]
+    xi = jnp.clip(xi, 0, W - 1)
+    yi = jnp.clip(yi, 0, H - 1)
+    return img[yi, xi]
+
+
+def sample_bilinear(img: Array, x: Array, y: Array):
+    """Bilinear sampling with out-of-bounds masking.
+
+    Args:
+      img: (H, W, C) float array.
+      x, y: (...,) sample coordinates, 0-based.
+
+    Returns:
+      (values (..., C), valid (...,) bool). Out-of-bounds samples are 0.
+    """
+    H, W = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    v00 = _gather_2d(img, x0i, y0i)
+    v01 = _gather_2d(img, x0i + 1, y0i)
+    v10 = _gather_2d(img, x0i, y0i + 1)
+    v11 = _gather_2d(img, x0i + 1, y0i + 1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    out = top * (1.0 - fy) + bot * fy
+    valid = (x >= 0.0) & (x <= W - 1.0) & (y >= 0.0) & (y <= H - 1.0)
+    return out * valid[..., None], valid
+
+
+def sample_nearest(img: Array, x: Array, y: Array):
+    """Nearest-neighbour sampling with out-of-bounds masking."""
+    H, W = img.shape[0], img.shape[1]
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    out = _gather_2d(img, xi, yi)
+    valid = (x >= -0.5) & (x <= W - 0.5) & (y >= -0.5) & (y <= H - 0.5)
+    return out * valid[..., None], valid
+
+
+def _cubic_kernel(t: Array, a: float = -0.5) -> Array:
+    """Keys cubic kernel (a = -0.5, same as the reference `imageWarp.m:276-302`)."""
+    at = jnp.abs(t)
+    at2 = at * at
+    at3 = at2 * at
+    w1 = (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0
+    w2 = a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def sample_bicubic(img: Array, x: Array, y: Array):
+    """Bicubic (Keys a=-0.5) sampling with out-of-bounds masking."""
+    H, W = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    out = jnp.zeros(x.shape + (img.shape[-1],), img.dtype)
+    for j in range(-1, 3):
+        wy = _cubic_kernel(fy - j)[..., None]
+        row = jnp.zeros_like(out)
+        for i in range(-1, 3):
+            wx = _cubic_kernel(fx - i)[..., None]
+            row = row + wx * _gather_2d(img, x0 + i, y0 + j)
+        out = out + wy * row
+    valid = (x >= 0.0) & (x <= W - 1.0) & (y >= 0.0) & (y <= H - 1.0)
+    return out * valid[..., None], valid
+
+
+_SAMPLERS = {"bilinear": sample_bilinear, "nearest": sample_nearest, "bicubic": sample_bicubic}
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
+def warp_homography(
+    img: Array,
+    H_inv: Array,
+    out_h: int,
+    out_w: int,
+    x_offset: Array = 0.0,
+    y_offset: Array = 0.0,
+    method: str = "bilinear",
+):
+    """Inverse-map warp of `img` by homography onto an (out_h, out_w) canvas.
+
+    The canvas pixel (xc, yc) corresponds to world coordinate
+    (xc + x_offset, yc + y_offset); its source location is
+    H_inv @ [x_world, y_world, 1].
+
+    TPU-native equivalent of `imageProcessing/imageWarp.m` (world grid from
+    imref2d `:39-57`, inverse mapping `:60-101`, gather `:108-266`).
+
+    Returns (warped (out_h, out_w, C), valid (out_h, out_w)).
+    """
+    yc, xc = jnp.mgrid[0:out_h, 0:out_w]
+    xw = xc.astype(jnp.float32) + x_offset
+    yw = yc.astype(jnp.float32) + y_offset
+    denom = H_inv[2, 0] * xw + H_inv[2, 1] * yw + H_inv[2, 2]
+    denom = jnp.where(jnp.abs(denom) < 1e-10, 1e-10, denom)
+    xs = (H_inv[0, 0] * xw + H_inv[0, 1] * yw + H_inv[0, 2]) / denom
+    ys = (H_inv[1, 0] * xw + H_inv[1, 1] * yw + H_inv[1, 2]) / denom
+    return _SAMPLERS[method](img, xs, ys)
+
+
+def feather_weights(h: int, w: int, dtype=jnp.float32) -> Array:
+    """Separable linear border-ramp weights, max at center, ~0 at borders.
+
+    Mirrors `renderPanorama.m warpWeights :1282-1312`.
+    """
+    wx = 1.0 - jnp.abs(jnp.linspace(-1.0, 1.0, w, dtype=dtype))
+    wy = 1.0 - jnp.abs(jnp.linspace(-1.0, 1.0, h, dtype=dtype))
+    wx = jnp.maximum(wx, 1e-4)
+    wy = jnp.maximum(wy, 1e-4)
+    return wy[:, None] * wx[None, :]
+
+
+def output_limits(H: Array, h: int, w: int, n_samples: int = 64):
+    """Transformed bounding box of an (h, w) image under homography H.
+
+    Samples the image boundary (like `imageProcessing/outputLimitsScratch.m:71-112`)
+    and returns (x_min, x_max, y_min, y_max) over finite outputs.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    xs = t * (w - 1)
+    ys = t * (h - 1)
+    top = jnp.stack([xs, jnp.zeros_like(xs)], axis=-1)
+    bottom = jnp.stack([xs, jnp.full_like(xs, h - 1.0)], axis=-1)
+    left = jnp.stack([jnp.zeros_like(ys), ys], axis=-1)
+    right = jnp.stack([jnp.full_like(ys, w - 1.0), ys], axis=-1)
+    pts = jnp.concatenate([top, bottom, left, right], axis=0)
+    ph = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], axis=-1)
+    out = jnp.matmul(ph, H.T, precision=jax.lax.Precision.HIGHEST)
+    wz = out[:, 2]
+    ok = jnp.abs(wz) > 1e-9
+    xy = out[:, :2] / jnp.where(ok, wz, 1.0)[:, None]
+    big = jnp.float32(1e9)
+    x = jnp.where(ok, xy[:, 0], big)
+    y = jnp.where(ok, xy[:, 1], big)
+    x_min = jnp.min(x)
+    y_min = jnp.min(y)
+    x = jnp.where(ok, xy[:, 0], -big)
+    y = jnp.where(ok, xy[:, 1], -big)
+    x_max = jnp.max(x)
+    y_max = jnp.max(y)
+    return x_min, x_max, y_min, y_max

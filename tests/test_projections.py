@@ -1,0 +1,71 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autopanostitch_tpu.ops import geometry as geo
+from autopanostitch_tpu.ops import projections as proj
+
+
+def random_rotation(seed):
+    r = np.random.default_rng(seed)
+    return np.array(geo.so3_exp(jnp.array(r.normal(size=3) * 0.5, jnp.float32)))
+
+
+@pytest.mark.parametrize("mode", proj.PROJECTIONS)
+def test_pano_ray_roundtrip(mode):
+    """pixel -> ray -> surface coord must invert exactly."""
+    R_ref = jnp.array(random_rotation(42), jnp.float32)
+    f_pan = 500.0
+    x0, y0 = -0.8, -0.5
+    xp, yp = jnp.meshgrid(jnp.arange(0, 200, 17.0), jnp.arange(0, 150, 13.0))
+    d = proj.pano_to_ray(mode, xp, yp, f_pan, x0, y0, R_ref)
+    # unit norm
+    np.testing.assert_allclose(np.array(jnp.linalg.norm(d, axis=-1)), 1.0, atol=1e-5)
+    u, v, valid = proj.ray_to_pano(mode, d, R_ref)
+    xp2 = (np.array(u) - x0) * f_pan
+    yp2 = (np.array(v) - y0) * f_pan
+    m = np.array(valid)
+    assert m.all()
+    np.testing.assert_allclose(xp2[m], np.array(xp)[m], atol=0.01)
+    np.testing.assert_allclose(yp2[m], np.array(yp)[m], atol=0.01)
+
+
+def test_spherical_equals_equirectangular():
+    xp, yp = jnp.meshgrid(jnp.arange(10.0), jnp.arange(8.0))
+    d1 = proj.pano_to_ray("spherical", xp, yp, 300.0, -1.0, -0.5)
+    d2 = proj.pano_to_ray("equirectangular", xp, yp, 300.0, -1.0, -0.5)
+    np.testing.assert_allclose(np.array(d1), np.array(d2))
+
+
+def test_camera_projection_roundtrip():
+    """image pixel -> world ray -> back to image pixel."""
+    K = geo.build_K(480.0, 320.0, 240.0)
+    R = jnp.array(random_rotation(7), jnp.float32)
+    xp, yp = jnp.meshgrid(jnp.arange(0, 640, 37.0), jnp.arange(0, 480, 31.0))
+    d = proj.camera_pixel_rays(geo.invert_K(K), R, xp, yp)
+    d = proj.normalize_rays(d)
+    u, v, front, cosang = proj.project_ray_to_camera(d, R, K)
+    assert bool(front.all())
+    assert float(jnp.min(cosang)) > 0.0
+    np.testing.assert_allclose(np.array(u), np.array(xp), atol=0.05)
+    np.testing.assert_allclose(np.array(v), np.array(yp), atol=0.05)
+
+
+def test_forward_facing_identity_camera_center():
+    """The principal axis of an identity camera maps to theta=0, phi=0."""
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    u, v, valid = proj.ray_to_pano("spherical", d)
+    assert float(u[0]) == pytest.approx(0.0, abs=1e-6)
+    assert float(v[0]) == pytest.approx(0.0, abs=1e-6)
+    u, v, valid = proj.ray_to_pano("cylindrical", d)
+    assert float(u[0]) == pytest.approx(0.0, abs=1e-6)
+    assert float(v[0]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_backfacing_rays_masked():
+    R = jnp.eye(3)
+    K = geo.build_K(480.0, 320.0, 240.0)
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    _, _, front, cosang = proj.project_ray_to_camera(d, R, K)
+    assert not bool(front[0])
+    assert float(cosang[0]) == 0.0
