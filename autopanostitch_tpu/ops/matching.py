@@ -1,0 +1,249 @@
+"""Descriptor matching as MXU matmuls + top-k, replacing the reference's
+FLANN KD-tree / LSH / exhaustive MEX kernels.
+
+On TPU, the exact all-pairs squared distance
+    ||a - b||^2 = ||a||^2 + ||b||^2 - 2 a.b
+is a single large matmul on the systolic array and beats approximate
+structures outright — this is the TPU-native equivalent of:
+- `mex/flann_knn.cpp` (FLANN KD-tree / LSH kNN)
+- `featureMatching/matchFeaturesScratch.m:322-366` (blocked-GEMM SSD 2-NN)
+- `mex/nearest2HammingExhaustiveMEX.cpp` (Hamming 2-NN, see `hamming.py`)
+
+Two entry points mirroring the reference's two matching modes:
+- :func:`match_pair` — pairwise 2-NN + Lowe ratio + mutual uniqueness
+  (`featureMatching/featureMatchingPairwise.m`, `matchFeaturesScratch.m`)
+- :func:`global_knn` + :func:`global_matches_to_pairs` — AutoStitch-style
+  pooled global matching (`featureMatching/featureMatchingGlobal.m`).
+
+All inputs are fixed-capacity padded tensors with boolean masks; invalid
+rows never produce matches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_BIG = jnp.float32(1e18)
+
+
+def pairwise_sqdist(a: Array, b: Array, compute_dtype=jnp.float32) -> Array:
+    """Squared L2 distances (Ma, D) x (Mb, D) -> (Ma, Mb) on the MXU.
+
+    The cross-term matmul may run in bf16 (`compute_dtype`) with f32
+    accumulation; norms are always f32.
+    """
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    na = jnp.sum(a32 * a32, axis=-1, keepdims=True)  # (Ma, 1)
+    nb = jnp.sum(b32 * b32, axis=-1, keepdims=True).T  # (1, Mb)
+    ab = jax.lax.dot_general(
+        a.astype(compute_dtype),
+        b.astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(na + nb - 2.0 * ab, 0.0)
+
+
+def two_nn(
+    desc_q: Array,
+    mask_q: Array,
+    desc_t: Array,
+    mask_t: Array,
+    compute_dtype=jnp.float32,
+):
+    """Exact 2-nearest-neighbour in SSD space.
+
+    Returns (idx1 (Mq,), d1 (Mq,), d2 (Mq,)) — best target index, best and
+    second-best squared distances. Masked-out queries/targets get _BIG.
+    """
+    d = pairwise_sqdist(desc_q, desc_t, compute_dtype)
+    d = jnp.where(mask_t[None, :], d, _BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+    d1 = -neg_top2[:, 0]
+    d2 = -neg_top2[:, 1]
+    idx1 = idx_top2[:, 0]
+    d1 = jnp.where(mask_q, d1, _BIG)
+    d2 = jnp.where(mask_q, d2, _BIG)
+    return idx1, d1, d2
+
+
+@partial(jax.jit, static_argnames=("max_matches",))
+def match_pair(
+    desc_a: Array,
+    mask_a: Array,
+    desc_b: Array,
+    mask_b: Array,
+    ratio: float = 0.6,
+    max_matches: int = 512,
+):
+    """Match two descriptor sets: 2-NN, Lowe ratio test, mutual uniqueness.
+
+    The ratio test compares squared distances against ratio^2 (the reference
+    compares SSD against r^2, `matchFeaturesScratch.m:169-175`). Uniqueness
+    uses mutual-nearest consistency instead of the reference's greedy
+    distance-sorted dedup (`matchFeaturesScratch.m:186-211`) — a stricter,
+    fully-parallel criterion.
+
+    Returns:
+      idx:  (max_matches, 2) int32 [ia, ib] local index pairs (padded 0)
+      m:    (max_matches,) bool validity
+      n:    () int32 number of valid matches
+    """
+    ia2b, d1_ab, d2_ab = two_nn(desc_a, mask_a, desc_b, mask_b)
+    ib2a, _, _ = two_nn(desc_b, mask_b, desc_a, mask_a)
+
+    pass_ratio = d1_ab < (ratio * ratio) * d2_ab
+    mutual = ib2a[ia2b] == jnp.arange(desc_a.shape[0])
+    ok = pass_ratio & mutual & mask_a & (d1_ab < _BIG)
+
+    # compact accepted matches to the front, ordered by ascending distance
+    order_key = jnp.where(ok, d1_ab, _BIG)
+    order = jnp.argsort(order_key)
+    Ma = desc_a.shape[0]
+    take = min(max_matches, Ma)
+    sel = order[:take]
+    idx = jnp.stack([sel, ia2b[sel]], axis=-1).astype(jnp.int32)
+    m = ok[sel]
+    if take < max_matches:
+        idx = jnp.pad(idx, ((0, max_matches - take), (0, 0)))
+        m = jnp.pad(m, (0, max_matches - take))
+    idx = jnp.where(m[:, None], idx, 0)
+    return idx, m, jnp.sum(ok.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def global_knn(desc: Array, mask: Array, image_id: Array, k: int = 4, block: int = 1024):
+    """Pooled self-kNN over ALL images' descriptors (AutoStitch global match).
+
+    Equivalent of the single global `flann_knn_win` query in
+    `featureMatchingGlobal.m:104-120`, done exactly: the pooled descriptor
+    matrix is multiplied against itself in query blocks (streaming top-k so
+    the full F x F distance matrix never materializes).
+
+    Self-matches and same-image neighbours are excluded BEFORE top-k (the
+    reference filters after, `featureMatchingGlobal.m:122-147`; excluding
+    first is equivalent given enough k but exact for the ratio test).
+
+    Args:
+      desc: (F, D) pooled descriptors. mask: (F,). image_id: (F,) int32.
+      k: neighbours to keep. block: query rows per step.
+
+    Returns:
+      nn_idx (F, k) int32, nn_dist (F, k) f32 ascending (masked -> _BIG).
+    """
+    F = desc.shape[0]
+    nblocks = (F + block - 1) // block
+    Fpad = nblocks * block
+    desc_q = jnp.pad(desc, ((0, Fpad - F), (0, 0)))
+    id_q = jnp.pad(image_id, (0, Fpad - F), constant_values=-1)
+    mask_q = jnp.pad(mask, (0, Fpad - F))
+
+    def step(carry, qb):
+        dq, iq, mq = qb
+        d = pairwise_sqdist(dq, desc)  # (block, F)
+        same_img = iq[:, None] == image_id[None, :]
+        bad = same_img | ~mask[None, :] | ~mq[:, None]
+        d = jnp.where(bad, _BIG, d)
+        neg_top, idx = jax.lax.top_k(-d, k)
+        return carry, (idx.astype(jnp.int32), -neg_top)
+
+    q_blocks = (
+        desc_q.reshape(nblocks, block, -1),
+        id_q.reshape(nblocks, block),
+        mask_q.reshape(nblocks, block),
+    )
+    _, (nn_idx, nn_dist) = jax.lax.scan(step, None, q_blocks)
+    return nn_idx.reshape(Fpad, k)[:F], nn_dist.reshape(Fpad, k)[:F]
+
+
+def global_ratio_test(nn_idx: Array, nn_dist: Array, ratio: float = 0.6):
+    """Per-query cross-image Lowe ratio test on global kNN results.
+
+    Brown-Lowe global matching (`featureMatchingGlobal.m:123-147`): the best
+    cross-image neighbour is accepted iff it beats the second-best
+    cross-image neighbour by the ratio. Same-image neighbours were already
+    excluded in :func:`global_knn`, so columns 0/1 are exactly the
+    reference's post-filter best/second.
+
+    The ratio is applied in Euclidean-distance space (d1 < r^2 * d2 on
+    squared distances), matching `matchFeaturesScratch.m:169-175`. Note the
+    reference's *global* path divides FLANN's squared distances by the raw
+    ratio (`featureMatchingGlobal.m:145`), which silently corresponds to a
+    Euclidean ratio of sqrt(0.6) ~ 0.77 — we treat that as a bug and use the
+    consistent semantics.
+
+    Returns (target (F,), accepted (F,)) — target feature index per query.
+    """
+    best = nn_idx[:, 0]
+    d1 = nn_dist[:, 0]
+    d2 = nn_dist[:, 1]
+    accepted = (d1 < (ratio * ratio) * d2) & (d1 < _BIG)
+    return best, accepted
+
+
+def global_matches_to_pairs(
+    best: np.ndarray,
+    accepted: np.ndarray,
+    image_id: np.ndarray,
+    local_idx: np.ndarray,
+    n_images: int,
+    max_matches: int,
+):
+    """Host-side assembly of global matches into per-pair fixed-capacity lists.
+
+    Mirrors the accumulation into the upper-triangular N x N cell array
+    (`featureMatchingGlobal.m:149-160`). Control-plane work on O(F) data —
+    numpy on host, not worth a device kernel.
+
+    Returns:
+      pairs:      (P, 2) int32 (i, j) with i < j, only pairs with >=1 match
+      pair_idx:   (P, max_matches, 2) int32 local [idx_in_i, idx_in_j]
+      pair_mask:  (P, max_matches) bool
+      counts_full:(N, N) int32 symmetric putative counts
+    """
+    best = np.asarray(best)
+    accepted = np.asarray(accepted).astype(bool)
+    image_id = np.asarray(image_id)
+    local_idx = np.asarray(local_idx)
+
+    q = np.nonzero(accepted)[0]
+    t = best[q]
+    qi, ti = image_id[q], image_id[t]
+    ql, tl = local_idx[q], local_idx[t]
+    # orient each match to (i < j)
+    swap = qi > ti
+    i_img = np.where(swap, ti, qi)
+    j_img = np.where(swap, qi, ti)
+    i_loc = np.where(swap, tl, ql)
+    j_loc = np.where(swap, ql, tl)
+    keep = i_img != j_img
+    i_img, j_img, i_loc, j_loc = i_img[keep], j_img[keep], i_loc[keep], j_loc[keep]
+
+    key = i_img.astype(np.int64) * n_images + j_img
+    # dedup (a match can be found from both directions)
+    pair_and_feats = np.stack([key, i_loc, j_loc], axis=1)
+    pair_and_feats = np.unique(pair_and_feats, axis=0)
+    key, i_loc, j_loc = pair_and_feats.T
+
+    uniq_keys, start_idx, counts = np.unique(key, return_index=True, return_counts=True)
+    P = len(uniq_keys)
+    pairs = np.stack([uniq_keys // n_images, uniq_keys % n_images], axis=1).astype(np.int32)
+    pair_idx = np.zeros((P, max_matches, 2), np.int32)
+    pair_mask = np.zeros((P, max_matches), bool)
+    counts_full = np.zeros((n_images, n_images), np.int32)
+    for p in range(P):
+        s = start_idx[p]
+        c = min(int(counts[p]), max_matches)
+        pair_idx[p, :c, 0] = i_loc[s : s + c]
+        pair_idx[p, :c, 1] = j_loc[s : s + c]
+        pair_mask[p, :c] = True
+        i, j = pairs[p]
+        counts_full[i, j] = counts_full[j, i] = int(counts[p])
+    return pairs, pair_idx, pair_mask, counts_full

@@ -1,0 +1,224 @@
+"""Batched fixed-iteration RANSAC / MSAC geometric verification.
+
+TPU-native redesign of the reference's sequential estimators:
+- `imageMatching/estimateTransformationRANSAC.m` (classic RANSAC, adaptive
+  trial count `:124-131`, minimal solvers `:188-439`, symmetric transfer
+  error `:473-481`, degeneracy checks `:518-574`, inlier refit `:146-181`)
+- `imageMatching/estimateTransformationMLESAC.m` (Torr-Zisserman MSAC with
+  truncated loss `:258-295`)
+
+Instead of a data-dependent sequential loop, we draw B hypotheses at once
+(weighted Gumbel top-k sampling of minimal sets under the validity mask),
+vmap the minimal solver and scoring over the hypothesis axis, select the
+best by inlier count (RANSAC) or truncated loss (MSAC), then refit with a
+few IRLS weighted-DLT passes on the winning inlier set. Everything is
+shape-static, so the whole verification of P image pairs vmaps/scans
+cleanly across pairs and shards across chips.
+
+B = 512 hypotheses gives success probability comparable to the reference's
+maxIter=500 sequential trials for inlier ratios >= ~30%.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from autopanostitch_tpu.ops import geometry as geo
+
+Array = jax.Array
+
+_MODEL_FITTERS = {
+    "projective": (geo.fit_homography_dlt, 4),
+    "affine": (geo.fit_affine, 3),
+    "similarity": (geo.fit_similarity, 2),
+    "rigid": (geo.fit_rigid, 2),
+    "translation": (geo.fit_translation, 1),
+}
+
+
+class RansacResult(NamedTuple):
+    H: Array  # (3, 3) best model (src -> dst)
+    inliers: Array  # (M,) bool
+    num_inliers: Array  # () int32
+    num_putative: Array  # () int32, valid matches given to the estimator
+    success: Array  # () bool — found a valid model with >= min_pts inliers
+
+
+def _sample_minimal_sets(key: Array, mask: Array, batch: int, min_pts: int) -> Array:
+    """(batch, min_pts) index sets sampled w/o replacement from valid rows.
+
+    Gumbel top-k trick: iid Gumbel noise + log(mask) then top_k — exact
+    uniform sampling without replacement, fully parallel over hypotheses.
+    """
+    M = mask.shape[0]
+    g = jax.random.gumbel(key, (batch, M))
+    logp = jnp.where(mask, 0.0, -jnp.inf)
+    _, idx = jax.lax.top_k(g + logp[None, :], min_pts)
+    return idx
+
+
+def _score(err: Array, mask: Array, threshold: float, method: str):
+    """Per-hypothesis score from per-match errors (B, M).
+
+    RANSAC: maximize inlier count (minimize -count).
+    MSAC:   minimize sum of truncated squared losses
+            (reference `estimateTransformationMLESAC.m:258-295` truncates the
+            per-point distance at the threshold).
+    """
+    inl = (err < threshold) & mask[None, :]
+    n_inl = jnp.sum(inl, axis=-1)
+    if method == "ransac":
+        cost = -n_inl.astype(jnp.float32)
+    else:  # msac / mlesac
+        e2 = jnp.minimum(err * err, threshold * threshold)
+        cost = jnp.sum(jnp.where(mask[None, :], e2, 0.0), axis=-1)
+    return cost, inl, n_inl
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "method", "batch", "irls_iters"),
+)
+def ransac_fit(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    key: Array,
+    threshold: float = 5.5,
+    model: str = "projective",
+    method: str = "ransac",
+    batch: int = 512,
+    irls_iters: int = 3,
+) -> RansacResult:
+    """Estimate a transform src -> dst robust to outliers.
+
+    Args:
+      src, dst: (M, 2) padded correspondence arrays.
+      mask: (M,) validity of each correspondence.
+      key: PRNG key. threshold: inlier distance in px (`inputs.m:69`).
+      model: 'projective' | 'affine' | 'similarity' | 'rigid' | 'translation'.
+      method: 'ransac' | 'mlesac' (MSAC truncated-loss scoring).
+      batch: number of parallel hypotheses.
+      irls_iters: Huber-IRLS refit passes on the winning inlier set.
+
+    Returns RansacResult. All shapes static — safe under vmap over pairs.
+    """
+    fit_fn, min_pts = _MODEL_FITTERS[model]
+    M = src.shape[0]
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+
+    idx = _sample_minimal_sets(key, mask, batch, min_pts)  # (B, p)
+    src_min = src[idx]  # (B, p, 2)
+    dst_min = dst[idx]
+    ones = jnp.ones((batch, min_pts), src.dtype)
+    Hs = jax.vmap(fit_fn)(src_min, dst_min, ones)  # (B, 3, 3)
+
+    err = jax.vmap(lambda H: geo.symmetric_transfer_error(H, src, dst))(Hs)  # (B, M)
+    err = jnp.where(jnp.isfinite(err), err, jnp.float32(1e9))
+    cost, inl, n_inl = _score(err, mask, threshold, method)
+
+    valid_model = jax.vmap(geo.homography_is_valid)(Hs)
+    cost = jnp.where(valid_model, cost, jnp.float32(1e30))
+    best = jnp.argmin(cost)
+    H0 = Hs[best]
+    inl0 = inl[best]
+
+    # --- IRLS refit on inliers (replaces the reference's single LS refit,
+    # `estimateTransformationRANSAC.m:146-181`) ---
+    def irls_step(carry, _):
+        H, w = carry
+        H_new = fit_fn(src, dst, w)
+        e = geo.symmetric_transfer_error(H_new, src, dst)
+        # Huber-style weights within the inlier band, hard cut at threshold
+        w_new = jnp.where((e < threshold) & mask, 1.0 / jnp.maximum(e / threshold, 0.5), 0.0)
+        return (H_new, w_new), None
+
+    w0 = inl0.astype(src.dtype)
+    (H_ref, _), _ = jax.lax.scan(irls_step, (H0, w0), None, length=irls_iters)
+
+    # keep the refit only if it did not lose inliers
+    e_ref = geo.symmetric_transfer_error(H_ref, src, dst)
+    inl_ref = (e_ref < threshold) & mask & jnp.isfinite(e_ref)
+    n_ref = jnp.sum(inl_ref)
+    use_ref = (n_ref >= n_inl[best]) & geo.homography_is_valid(H_ref)
+    H_final = jnp.where(use_ref, H_ref, H0)
+    inl_final = jnp.where(use_ref, inl_ref, inl0)
+    n_final = jnp.sum(inl_final.astype(jnp.int32))
+
+    success = (n_final >= min_pts) & (n_valid >= min_pts) & geo.homography_is_valid(H_final)
+    H_final = jnp.where(success, H_final, jnp.eye(3, dtype=src.dtype))
+    return RansacResult(H_final, inl_final & success, n_final * success, n_valid, success)
+
+
+def verify_pairs(
+    pair_src: Array,
+    pair_dst: Array,
+    pair_mask: Array,
+    keys: Array,
+    threshold: float = 5.5,
+    model: str = "projective",
+    method: str = "ransac",
+    batch: int = 512,
+    accept_alpha: float = 8.0,
+    accept_beta: float = 0.3,
+    chunk: int = 16,
+):
+    """Verify P candidate pairs with batched RANSAC + Brown-Lowe acceptance.
+
+    The probabilistic acceptance `ni > alpha + beta * nf`
+    (reference `imageMatching.m:150`, constants `:38-42`).
+
+    Args:
+      pair_src, pair_dst: (P, M, 2); pair_mask: (P, M); keys: (P, 2) uint32.
+      chunk: pairs processed per scan step (bounds the (chunk, B, M) error
+             tensor's memory).
+
+    Returns dict of stacked results per pair:
+      H (P,3,3), H_inv (P,3,3), inliers (P,M), num_inliers (P,),
+      accepted (P,) bool.
+    """
+    P, M = pair_mask.shape
+    nchunks = (P + chunk - 1) // chunk
+    Ppad = nchunks * chunk
+
+    def pad(x):
+        return jnp.pad(x, [(0, Ppad - P)] + [(0, 0)] * (x.ndim - 1))
+
+    ps, pd, pm, ks = pad(pair_src), pad(pair_dst), pad(pair_mask), pad(keys)
+
+    one = partial(
+        ransac_fit, threshold=threshold, model=model, method=method, batch=batch
+    )
+
+    def step(carry, xs):
+        s, d, m, k = xs
+        res = jax.vmap(one)(s, d, m, k)
+        return carry, res
+
+    xs = (
+        ps.reshape(nchunks, chunk, M, 2),
+        pd.reshape(nchunks, chunk, M, 2),
+        pm.reshape(nchunks, chunk, M),
+        ks.reshape(nchunks, chunk, -1),
+    )
+    _, res = jax.lax.scan(step, None, xs)
+    H = res.H.reshape(Ppad, 3, 3)[:P]
+    inliers = res.inliers.reshape(Ppad, M)[:P]
+    n_inl = res.num_inliers.reshape(Ppad)[:P]
+    n_put = res.num_putative.reshape(Ppad)[:P]
+    success = res.success.reshape(Ppad)[:P]
+
+    accepted = success & (n_inl > accept_alpha + accept_beta * n_put)
+    H_inv = jax.vmap(geo.homography_inverse)(H)
+    return {
+        "H": H,
+        "H_inv": H_inv,
+        "inliers": inliers,
+        "num_inliers": n_inl,
+        "num_putative": n_put,
+        "accepted": accepted,
+    }

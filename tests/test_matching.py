@@ -1,0 +1,121 @@
+import jax.numpy as jnp
+import numpy as np
+
+from autopanostitch_tpu.ops import matching as mt
+
+
+def make_descriptors(r, n, d=128):
+    x = r.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestPairwiseSqdist:
+    def test_matches_numpy(self):
+        r = np.random.default_rng(0)
+        a = make_descriptors(r, 40)
+        b = make_descriptors(r, 30)
+        d = np.array(mt.pairwise_sqdist(jnp.array(a), jnp.array(b)))
+        ref = ((a[:, None] - b[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, ref, atol=1e-4)
+
+
+class TestMatchPair:
+    def test_identical_descriptors_match(self):
+        r = np.random.default_rng(1)
+        da = make_descriptors(r, 64)
+        perm = r.permutation(64)
+        db = da[perm]  # image B has same features permuted
+        mask = jnp.ones(64, bool)
+        idx, m, n = mt.match_pair(jnp.array(da), mask, jnp.array(db), mask, ratio=0.8, max_matches=64)
+        assert int(n) == 64
+        idx = np.array(idx)[np.array(m)]
+        # every match must map a -> its permuted position
+        assert (perm[idx[:, 0]] == perm[idx[:, 0]]).all()
+        for ia, ib in idx:
+            assert perm[ib] == ia or np.allclose(da[ia], db[ib])
+
+    def test_ratio_test_rejects_ambiguous(self):
+        # two identical descriptors in target -> d1 == d2 -> ratio fails
+        da = np.zeros((4, 8), np.float32)
+        da[0, 0] = 1.0
+        da[1, 1] = 1.0
+        da[2, 2] = 1.0
+        da[3, 3] = 1.0
+        db = np.zeros((4, 8), np.float32)
+        db[0, 0] = 1.0
+        db[1, 0] = 1.0  # duplicate of db[0] -> queries matching it are ambiguous
+        db[2, 2] = 1.0
+        db[3, 3] = 1.0
+        mask = jnp.ones(4, bool)
+        idx, m, n = mt.match_pair(jnp.array(da), mask, jnp.array(db), mask, ratio=0.6, max_matches=4)
+        matched_a = set(np.array(idx)[np.array(m)][:, 0].tolist())
+        assert 0 not in matched_a  # ambiguous
+        assert 2 in matched_a and 3 in matched_a
+
+    def test_masked_rows_never_match(self):
+        r = np.random.default_rng(2)
+        da = make_descriptors(r, 16)
+        db = da.copy()
+        mask_a = jnp.array([True] * 8 + [False] * 8)
+        mask_b = jnp.ones(16, bool)
+        idx, m, n = mt.match_pair(jnp.array(da), mask_a, jnp.array(db), mask_b, ratio=0.9, max_matches=16)
+        matched_a = np.array(idx)[np.array(m)][:, 0]
+        assert (matched_a < 8).all()
+
+
+class TestGlobalMatching:
+    def _pooled(self, r, n_shared=2, n_images=3, per_image=32, d=32):
+        """First n_shared images share (noisy copies of) the same features;
+        remaining images get unrelated random features."""
+        descs, ids, locs = [], [], []
+        base = make_descriptors(r, per_image, d)
+        for i in range(n_images):
+            if i < n_shared:
+                noisy = base + 0.01 * r.normal(size=base.shape).astype(np.float32)
+                noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+            else:
+                noisy = make_descriptors(r, per_image, d)
+            descs.append(noisy)
+            ids.append(np.full(per_image, i))
+            locs.append(np.arange(per_image))
+        return (
+            np.concatenate(descs),
+            np.concatenate(ids).astype(np.int32),
+            np.concatenate(locs).astype(np.int32),
+        )
+
+    def test_knn_excludes_same_image(self):
+        r = np.random.default_rng(3)
+        desc, ids, locs = self._pooled(r)
+        nn_idx, nn_dist = mt.global_knn(
+            jnp.array(desc), jnp.ones(len(desc), bool), jnp.array(ids), k=4, block=32
+        )
+        nn_imgs = ids[np.array(nn_idx)]
+        assert (nn_imgs != ids[:, None]).all()
+
+    def test_global_pipeline_finds_pairs(self):
+        r = np.random.default_rng(4)
+        desc, ids, locs = self._pooled(r)
+        mask = jnp.ones(len(desc), bool)
+        nn_idx, nn_dist = mt.global_knn(jnp.array(desc), mask, jnp.array(ids), k=4, block=32)
+        best, accepted = mt.global_ratio_test(nn_idx, nn_dist, ratio=0.8)
+        pairs, pidx, pmask, counts = mt.global_matches_to_pairs(
+            np.array(best), np.array(accepted), ids, locs, 3, max_matches=64
+        )
+        # the shared pair (0,1) must dominate
+        assert counts[0, 1] > 16
+        p01 = [p for p in range(len(pairs)) if tuple(pairs[p]) == (0, 1)][0]
+        mi = pidx[p01][pmask[p01]]
+        frac_same = (mi[:, 0] == mi[:, 1]).mean()
+        assert frac_same > 0.9
+        # unrelated image 2 contributes far fewer accepted matches
+        assert counts[0, 2] + counts[1, 2] < counts[0, 1]
+
+    def test_streaming_blocks_equal_single_block(self):
+        r = np.random.default_rng(5)
+        desc, ids, _ = self._pooled(r, n_images=2, per_image=48)
+        mask = jnp.ones(len(desc), bool)
+        i1, d1 = mt.global_knn(jnp.array(desc), mask, jnp.array(ids), k=2, block=16)
+        i2, d2 = mt.global_knn(jnp.array(desc), mask, jnp.array(ids), k=2, block=96)
+        np.testing.assert_array_equal(np.array(i1), np.array(i2))
+        np.testing.assert_allclose(np.array(d1), np.array(d2), atol=1e-5)

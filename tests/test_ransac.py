@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autopanostitch_tpu.ops import geometry as geo
+from autopanostitch_tpu.ops import ransac as rs
+
+
+def make_problem(seed, n_inliers=60, n_outliers=40, noise=0.5, cap=128):
+    r = np.random.default_rng(seed)
+    H_true = np.eye(3) + 0.2 * r.normal(size=(3, 3)) * np.array(
+        [[0.1, 0.1, 20.0], [0.1, 0.1, 20.0], [1e-4, 1e-4, 0.0]]
+    )
+    H_true /= H_true[2, 2]
+    src_in = r.uniform(0, 400, size=(n_inliers, 2))
+    dh = np.concatenate([src_in, np.ones((n_inliers, 1))], -1) @ H_true.T
+    dst_in = dh[:, :2] / dh[:, 2:3] + noise * r.normal(size=(n_inliers, 2))
+    src_out = r.uniform(0, 400, size=(n_outliers, 2))
+    dst_out = r.uniform(0, 400, size=(n_outliers, 2))
+    src = np.concatenate([src_in, src_out]).astype(np.float32)
+    dst = np.concatenate([dst_in, dst_out]).astype(np.float32)
+    n = n_inliers + n_outliers
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    src_p = np.zeros((cap, 2), np.float32)
+    dst_p = np.zeros((cap, 2), np.float32)
+    src_p[:n] = src
+    dst_p[:n] = dst
+    return H_true, jnp.array(src_p), jnp.array(dst_p), jnp.array(mask)
+
+
+@pytest.mark.parametrize("method", ["ransac", "mlesac"])
+def test_recovers_homography_with_outliers(method):
+    H_true, src, dst, mask = make_problem(0)
+    res = rs.ransac_fit(src, dst, mask, jax.random.PRNGKey(0), threshold=3.0, method=method)
+    assert bool(res.success)
+    assert int(res.num_inliers) >= 50
+    # inliers should be (mostly) the true inliers
+    inl = np.array(res.inliers)
+    assert inl[:60].sum() >= 52
+    assert inl[60:100].sum() <= 3
+    # model accuracy on true inliers
+    err = geo.transfer_error(res.H, src[:60], dst[:60])
+    assert float(jnp.median(err)) < 2.0
+
+
+def test_all_outliers_fails_acceptance():
+    r = np.random.default_rng(1)
+    cap = 64
+    src = jnp.array(r.uniform(0, 400, size=(cap, 2)), jnp.float32)
+    dst = jnp.array(r.uniform(0, 400, size=(cap, 2)), jnp.float32)
+    mask = jnp.ones(cap, bool)
+    res = rs.ransac_fit(src, dst, mask, jax.random.PRNGKey(1), threshold=2.0)
+    # random correspondences: few inliers; Brown-Lowe acceptance would reject
+    ni, nf = int(res.num_inliers), int(res.num_putative)
+    assert ni <= 8 + 0.3 * nf
+
+
+def test_too_few_points_not_successful():
+    src = jnp.zeros((16, 2))
+    dst = jnp.zeros((16, 2))
+    mask = jnp.zeros(16, bool).at[0].set(True).at[1].set(True)
+    res = rs.ransac_fit(src, dst, mask, jax.random.PRNGKey(2))
+    assert not bool(res.success)
+    assert int(res.num_inliers) == 0
+
+
+def test_rigid_model():
+    r = np.random.default_rng(3)
+    th = 0.3
+    A = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    src = r.uniform(0, 100, size=(50, 2)).astype(np.float32)
+    dst = (src @ A.T + np.array([10.0, -5.0])).astype(np.float32)
+    dst[40:] += r.uniform(-60, 60, size=(10, 2)).astype(np.float32)  # outliers
+    mask = jnp.ones(50, bool)
+    res = rs.ransac_fit(
+        jnp.array(src), jnp.array(dst), mask, jax.random.PRNGKey(3), threshold=1.0, model="rigid"
+    )
+    assert bool(res.success)
+    assert int(res.num_inliers) >= 38
+
+
+def test_verify_pairs_batched():
+    problems = [make_problem(s) for s in range(5)]
+    # pair 5: pure noise (should be rejected)
+    r = np.random.default_rng(99)
+    cap = 128
+    noise_src = np.zeros((cap, 2), np.float32)
+    noise_dst = np.zeros((cap, 2), np.float32)
+    noise_src[:100] = r.uniform(0, 400, size=(100, 2))
+    noise_dst[:100] = r.uniform(0, 400, size=(100, 2))
+    nm = np.zeros(cap, bool)
+    nm[:100] = True
+
+    src = jnp.stack([p[1] for p in problems] + [jnp.array(noise_src)])
+    dst = jnp.stack([p[2] for p in problems] + [jnp.array(noise_dst)])
+    mask = jnp.stack([p[3] for p in problems] + [jnp.array(nm)])
+    keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    out = rs.verify_pairs(src, dst, mask, keys, threshold=3.0, chunk=4)
+    acc = np.array(out["accepted"])
+    assert acc[:5].all()
+    assert not acc[5]
+    # H_inv is a real inverse
+    eye = np.array(jnp.einsum("pij,pjk->pik", out["H"], out["H_inv"]))
+    np.testing.assert_allclose(eye[:5], np.tile(np.eye(3), (5, 1, 1)), atol=1e-2)
