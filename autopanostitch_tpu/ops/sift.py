@@ -1,0 +1,481 @@
+"""SIFT feature detection & description, TPU-native.
+
+The reference delegates detection to MATLAB CVT's `detectSIFTFeatures` /
+`extractFeatures` (`featureMatching/getFeaturePoints.m:36-74`), a black box.
+This module implements the full Lowe SIFT pipeline from scratch as
+fixed-shape, mask-carrying JAX computations so it runs batched on TPU:
+
+  Gaussian scale-space pyramid (separable convs)
+  -> DoG -> 3x3x3 extrema -> quadratic subpixel refinement
+  -> contrast & edge rejection (params from `inputs.m:34-41`)
+  -> orientation histogram (36 bins, multi-peak)
+  -> 4x4x8 = 128-d descriptor via trilinear soft-binning einsum.
+
+Design notes (TPU-first, intentionally not a port):
+- Ragged keypoint lists become fixed-capacity arrays + validity masks;
+  per-octave candidate selection is `top_k` on the |DoG| response map.
+- Per-keypoint neighbourhood work (refinement, orientation, descriptor) is
+  vmapped gather/einsum, no scalar loops.
+- The descriptor's trilinear scatter is expressed as
+  `einsum('s,sr,sc,so->rco')` over soft assignment weights — an MXU-sized
+  contraction instead of OpenCV's scatter-add inner loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from autopanostitch_tpu.config import DetectorConfig
+
+Array = jax.Array
+
+# assumed blur of the input image (Lowe)
+_INIT_SIGMA = 0.5
+_ORI_BINS = 36
+_ORI_SIGMA_FACTOR = 1.5
+_ORI_RADIUS_FACTOR = 3.0  # window radius = 3 * 1.5 * sigma
+_ORI_PEAK_RATIO = 0.8
+_DESC_GRID = 16  # 16x16 samples for both orientation & descriptor windows
+_DESC_SCALE_FACTOR = 3.0  # descriptor cell width = 3 * sigma
+_DESC_MAG_CLIP = 0.2
+
+
+class SiftFeatures(NamedTuple):
+    """Fixed-capacity keypoints for one image (or a batch, with leading dim).
+
+    xy: (K, 2) positions in input-image pixels; scale: (K,) absolute sigma;
+    orientation: (K,) radians; response: (K,) |DoG|; desc: (K, 128) L2-ish
+    normalized; mask: (K,) validity.
+    """
+
+    xy: Array
+    scale: Array
+    orientation: Array
+    response: Array
+    desc: Array
+    mask: Array
+
+
+# ---------------------------------------------------------------------------
+# Gaussian pyramid
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(sigma: float) -> jnp.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: Array, sigma: float) -> Array:
+    """Separable Gaussian blur of (H, W) with edge-replicate padding."""
+    if sigma <= 0:
+        return img
+    k = _gaussian_kernel1d(sigma)
+    r = k.shape[0] // 2
+    x = img[None, None]  # NCHW
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, k.reshape(1, 1, 1, -1), (1, 1), "VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, k.reshape(1, 1, -1, 1), (1, 1), "VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return x[0, 0]
+
+
+def build_pyramid(img: Array, cfg: DetectorConfig):
+    """Gaussian + DoG pyramid.
+
+    Returns list over octaves of dicts with:
+      gauss: (S+3, Ho, Wo), dog: (S+2, Ho, Wo), plus per-octave stride.
+    Octave o has resolution ceil(H / 2^o) x ceil(W / 2^o).
+    """
+    s = cfg.num_layers_in_octave
+    sigma0 = cfg.sigma
+    k = 2.0 ** (1.0 / s)
+    # blur the input up to sigma0 (assumes _INIT_SIGMA built in)
+    base_extra = math.sqrt(max(sigma0**2 - _INIT_SIGMA**2, 0.01))
+    base = gaussian_blur(img, base_extra)
+
+    # incremental blur amounts within an octave
+    sig_prev = [sigma0 * (k**i) for i in range(s + 2)]
+    sig_next = [sigma0 * (k ** (i + 1)) for i in range(s + 2)]
+    increments = [math.sqrt(n**2 - p**2) for p, n in zip(sig_prev, sig_next)]
+
+    octaves = []
+    current = base
+    for o in range(cfg.num_octaves):
+        gs = [current]
+        for inc in increments:
+            gs.append(gaussian_blur(gs[-1], inc))
+        gauss = jnp.stack(gs)  # (S+3, H, W)
+        dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
+        octaves.append({"gauss": gauss, "dog": dog, "stride": 2**o})
+        # next octave base: gauss[s] (sigma = 2*sigma0) downsampled 2x
+        current = gs[s][::2, ::2]
+        if current.shape[0] < 8 or current.shape[1] < 8:
+            break
+    return octaves
+
+
+# ---------------------------------------------------------------------------
+# Extrema detection + candidate selection
+# ---------------------------------------------------------------------------
+
+def _extrema_mask(dog: Array, contrast_threshold: float) -> Array:
+    """(S+2, H, W) -> (S, H, W) bool: strict 26-neighbour extrema of the
+    middle S layers, with Lowe's 0.8*threshold pre-filter."""
+    S2, H, W = dog.shape
+    center = dog[1:-1]  # (S, H, W)
+    pre = jnp.abs(center) > 0.8 * contrast_threshold
+
+    is_max = jnp.ones_like(pre)
+    is_min = jnp.ones_like(pre)
+    for ds in (-1, 0, 1):
+        layer = dog[1 + ds : S2 - 1 + ds]  # (S, H, W)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                nb = jnp.roll(layer, shift=(-dy, -dx), axis=(1, 2))
+                is_max = is_max & (center > nb)
+                is_min = is_min & (center < nb)
+    ext = (is_max | is_min) & pre
+    # kill the 1-px border (roll wraps) and a safety margin for descriptors
+    b = 4
+    ext = ext.at[:, :b, :].set(False).at[:, -b:, :].set(False)
+    ext = ext.at[:, :, :b].set(False).at[:, :, -b:].set(False)
+    return ext
+
+
+def _select_candidates(dog: Array, ext: Array, cap: int):
+    """top-`cap` extrema by |DoG| response. Returns (scale_i, y, x, valid)."""
+    S, H, W = ext.shape
+    resp = jnp.where(ext, jnp.abs(dog[1:-1]), -1.0).reshape(-1)
+    vals, flat = jax.lax.top_k(resp, cap)
+    valid = vals > 0
+    si = flat // (H * W)
+    rem = flat % (H * W)
+    yi = rem // W
+    xi = rem % W
+    return si.astype(jnp.int32), yi.astype(jnp.int32), xi.astype(jnp.int32), valid
+
+
+def _refine_one(dog: Array, si: Array, yi: Array, xi: Array):
+    """Quadratic 3D subpixel refinement of one candidate.
+
+    Returns (ds, dy, dx, contrast, edge_ratio_ok, converged).
+    dog is (S+2, H, W); the candidate layer index into dog is si+1.
+    """
+    patch = jax.lax.dynamic_slice(dog, (si, yi - 1, xi - 1), (3, 3, 3))
+    # derivatives (scale, y, x) at center
+    d = patch
+    g = jnp.array(
+        [
+            (d[2, 1, 1] - d[0, 1, 1]) * 0.5,
+            (d[1, 2, 1] - d[1, 0, 1]) * 0.5,
+            (d[1, 1, 2] - d[1, 1, 0]) * 0.5,
+        ]
+    )
+    c = d[1, 1, 1]
+    hss = d[2, 1, 1] + d[0, 1, 1] - 2 * c
+    hyy = d[1, 2, 1] + d[1, 0, 1] - 2 * c
+    hxx = d[1, 1, 2] + d[1, 1, 0] - 2 * c
+    hsy = (d[2, 2, 1] - d[2, 0, 1] - d[0, 2, 1] + d[0, 0, 1]) * 0.25
+    hsx = (d[2, 1, 2] - d[2, 1, 0] - d[0, 1, 2] + d[0, 1, 0]) * 0.25
+    hyx = (d[1, 2, 2] - d[1, 2, 0] - d[1, 0, 2] + d[1, 0, 0]) * 0.25
+    Hm = jnp.array([[hss, hsy, hsx], [hsy, hyy, hyx], [hsx, hyx, hxx]])
+    # solve H off = -g with regularization for safety
+    Hm_reg = Hm + 1e-8 * jnp.eye(3)
+    off = -jnp.linalg.solve(Hm_reg, g)
+    converged = jnp.all(jnp.abs(off) < 0.6) & jnp.all(jnp.isfinite(off))
+    contrast = c + 0.5 * jnp.dot(g, off)
+    # 2x2 spatial Hessian edge test
+    tr = hxx + hyy
+    det = hxx * hyy - hyx * hyx
+    return off, contrast, tr, det, converged
+
+
+def _detect_octave(octave, cfg: DetectorConfig, cap: int):
+    """All detection work for one octave. Returns per-candidate arrays
+    (x, y in octave pixels incl. subpixel, layer float, contrast, valid)."""
+    dog = octave["dog"]
+    ext = _extrema_mask(dog, cfg.contrast_threshold)
+    si, yi, xi, valid = _select_candidates(dog, ext, cap)
+
+    # si indexes extrema layers [0..S-1]; the dog layer is si+1
+    off, contrast, tr, det, converged = jax.vmap(
+        lambda s, y, x: _refine_one(dog, s, y, x)
+    )(si, yi, xi)
+
+    r = cfg.edge_threshold
+    edge_ok = (det > 0) & (tr * tr / jnp.maximum(det, 1e-12) < (r + 1.0) ** 2 / r)
+    contrast_ok = jnp.abs(contrast) >= cfg.contrast_threshold
+    valid = valid & converged & edge_ok & contrast_ok
+
+    x_sub = xi.astype(jnp.float32) + off[:, 2]
+    y_sub = yi.astype(jnp.float32) + off[:, 1]
+    layer = (si + 1).astype(jnp.float32) + off[:, 0]  # in dog-layer coords
+    return x_sub, y_sub, layer, jnp.abs(contrast), valid, si
+
+
+# ---------------------------------------------------------------------------
+# Orientation & descriptor (shared sampling machinery)
+# ---------------------------------------------------------------------------
+
+def _grad_maps(gauss: Array):
+    """Central-difference gradients of a (S+3, H, W) gaussian stack."""
+    dx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
+    dy = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
+    return dx, dy
+
+
+def _bilinear_gather(img: Array, x: Array, y: Array) -> Array:
+    """Bilinear sample of (H, W) at float coords (no channel dim)."""
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def _orientation_hist(dx_l: Array, dy_l: Array, x: Array, y: Array, sigma_rel: Array):
+    """36-bin Gaussian-weighted orientation histogram around one keypoint.
+
+    Samples a fixed 16x16 grid spanning +-3*(1.5*sigma) — the fixed-shape
+    equivalent of Lowe's variable-radius circular window.
+    Returns hist (36,).
+    """
+    G = _DESC_GRID
+    win = _ORI_RADIUS_FACTOR * _ORI_SIGMA_FACTOR * sigma_rel
+    lin = jnp.linspace(-1.0, 1.0, G)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    sx = x + gx * win
+    sy = y + gy * win
+    gdx = _bilinear_gather(dx_l, sx, sy)
+    gdy = _bilinear_gather(dy_l, sx, sy)
+    mag = jnp.sqrt(gdx * gdx + gdy * gdy)
+    ang = jnp.arctan2(gdy, gdx)  # [-pi, pi]
+    sigma_w = _ORI_SIGMA_FACTOR * sigma_rel
+    w = jnp.exp(-(sx - x) ** 2 / (2 * sigma_w**2) - (sy - y) ** 2 / (2 * sigma_w**2))
+    contrib = (mag * w).reshape(-1)
+    binf = ((ang / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS).reshape(-1)  # [0, 36)
+    b0 = jnp.floor(binf).astype(jnp.int32) % _ORI_BINS
+    fb = binf - jnp.floor(binf)
+    onehot0 = jax.nn.one_hot(b0, _ORI_BINS, dtype=contrib.dtype)
+    onehot1 = jax.nn.one_hot((b0 + 1) % _ORI_BINS, _ORI_BINS, dtype=contrib.dtype)
+    hist = contrib @ (onehot0 * (1 - fb)[:, None] + onehot1 * fb[:, None])
+    # smooth 2x with circular [1 1 1]/3 (OpenCV smooths the histogram)
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    return hist
+
+
+def _dominant_orientations(hist: Array):
+    """Primary peak + strongest secondary peak >= 0.8*max, with parabolic
+    interpolation. Returns (theta (2,), is_valid (2,))."""
+    n = _ORI_BINS
+    left = jnp.roll(hist, 1)
+    right = jnp.roll(hist, -1)
+    is_peak = (hist > left) & (hist > right)
+    peak_val = jnp.where(is_peak, hist, -1.0)
+    main = jnp.argmax(peak_val)
+    main_val = peak_val[main]
+    # secondary: best peak that is not main
+    peak_val2 = peak_val.at[main].set(-1.0)
+    second = jnp.argmax(peak_val2)
+    second_val = peak_val2[second]
+
+    def interp(b):
+        l, c, r = left[b], hist[b], right[b]
+        denom = l - 2 * c + r
+        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return ((b + off) / n) * 2 * jnp.pi
+
+    theta = jnp.stack([interp(main), interp(second)])
+    ok = jnp.stack(
+        [main_val > 0, (second_val > 0) & (second_val >= _ORI_PEAK_RATIO * main_val)]
+    )
+    return theta, ok
+
+
+def _descriptor(dx_l: Array, dy_l: Array, x: Array, y: Array, sigma_rel: Array, theta: Array):
+    """128-d SIFT descriptor via trilinear soft-binning einsum.
+
+    Fixed 16x16 sample grid over the rotated 4x4-cell window (cell width
+    3*sigma). Each sample soft-assigns to (row, col, ori) bins; the
+    scatter is the contraction  desc[r,c,o] = sum_s w_s R[s,r] C[s,c] O[s,o].
+    """
+    G = _DESC_GRID
+    d = 4  # spatial bins
+    nbins = 8
+    cell = _DESC_SCALE_FACTOR * sigma_rel
+    half = cell * d / 2.0  # window half-width in px (rotated frame)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+
+    lin = (jnp.arange(G) + 0.5) / G * d - d / 2.0  # sample centers in cell units
+    cy, cx = jnp.meshgrid(lin, lin, indexing="ij")
+    # rotate sample offsets into image frame
+    ox = (cx * cos_t - cy * sin_t) * cell
+    oy = (cx * sin_t + cy * cos_t) * cell
+    sx = x + ox
+    sy = y + oy
+    gdx = _bilinear_gather(dx_l, sx, sy)
+    gdy = _bilinear_gather(dy_l, sx, sy)
+    mag = jnp.sqrt(gdx * gdx + gdy * gdy)
+    ang = jnp.arctan2(gdy, gdx) - theta
+
+    # Gaussian weight over the window (sigma = half window, Lowe)
+    wsig = 0.5 * d
+    w = jnp.exp(-(cx**2 + cy**2) / (2 * wsig**2))
+    contrib = (mag * w).reshape(-1)
+
+    # spatial soft-assignment: sample position in bin coords [0, 4)
+    rbin = (cy + d / 2.0 - 0.5).reshape(-1)  # [-0.5, 3.5]
+    cbin = (cx + d / 2.0 - 0.5).reshape(-1)
+    obin = ((ang / (2 * jnp.pi) * nbins) % nbins).reshape(-1)
+
+    def soft(vals, nb, circular):
+        v0 = jnp.floor(vals)
+        f = vals - v0
+        i0 = v0.astype(jnp.int32)
+        if circular:
+            i0 = i0 % nb
+            i1 = (i0 + 1) % nb
+            w0 = jax.nn.one_hot(i0, nb, dtype=vals.dtype) * (1 - f)[:, None]
+            w1 = jax.nn.one_hot(i1, nb, dtype=vals.dtype) * f[:, None]
+        else:
+            in0 = (i0 >= 0) & (i0 < nb)
+            in1 = (i0 + 1 >= 0) & (i0 + 1 < nb)
+            w0 = jax.nn.one_hot(jnp.clip(i0, 0, nb - 1), nb, dtype=vals.dtype)
+            w0 = w0 * ((1 - f) * in0)[:, None]
+            w1 = jax.nn.one_hot(jnp.clip(i0 + 1, 0, nb - 1), nb, dtype=vals.dtype)
+            w1 = w1 * (f * in1)[:, None]
+        return w0 + w1
+
+    R = soft(rbin, d, circular=False)  # (S, 4)
+    C = soft(cbin, d, circular=False)  # (S, 4)
+    O = soft(obin, nbins, circular=True)  # (S, 8)
+    desc = jnp.einsum(
+        "s,sr,sc,so->rco", contrib, R, C, O, precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1)
+
+    # normalize -> clip 0.2 -> renormalize (Lowe)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+    desc = jnp.minimum(desc, _DESC_MAG_CLIP)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+    return desc
+
+
+# ---------------------------------------------------------------------------
+# Full per-image extraction
+# ---------------------------------------------------------------------------
+
+def _octave_caps(cfg: DetectorConfig):
+    return [max(128, cfg.max_keypoints >> o) for o in range(cfg.num_octaves)]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
+    """Full SIFT on one grayscale image (H, W) float32 in [0, 1].
+
+    Returns SiftFeatures with capacity cfg.max_keypoints (top responses
+    across octaves and orientations; invalid slots masked).
+    """
+    octaves = build_pyramid(img, cfg)
+    s = cfg.num_layers_in_octave
+    k = 2.0 ** (1.0 / s)
+
+    all_xy, all_scale, all_theta, all_resp, all_desc, all_mask = [], [], [], [], [], []
+
+    for o, octv in enumerate(octaves):
+        cap = _octave_caps(cfg)[min(o, cfg.num_octaves - 1)]
+        x_sub, y_sub, layer, resp, valid, si = _detect_octave(octv, cfg, cap)
+
+        gauss = octv["gauss"]
+        dx, dy = _grad_maps(gauss)
+        stride = octv["stride"]
+
+        # sigma relative to this octave (for window sizes on this grid)
+        sigma_rel = cfg.sigma * jnp.power(k, layer)
+        # gradient maps at the (integer) gaussian level closest to the layer
+        level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[0] - 1)
+
+        def per_kp(xi, yi, lev, srel):
+            dxl = dx[lev]
+            dyl = dy[lev]
+            hist = _orientation_hist(dxl, dyl, xi, yi, srel)
+            thetas, th_ok = _dominant_orientations(hist)
+            descs = jax.vmap(lambda t: _descriptor(dxl, dyl, xi, yi, srel, t))(thetas)
+            return thetas, th_ok, descs
+
+        thetas, th_ok, descs = jax.vmap(per_kp)(x_sub, y_sub, level, sigma_rel)
+        # expand: each candidate yields up to 2 oriented keypoints
+        n_or = 2
+        xy = jnp.stack([x_sub, y_sub], axis=-1) * stride  # to input pixels
+        xy = jnp.repeat(xy[:, None, :], n_or, axis=1).reshape(-1, 2)
+        scale = jnp.repeat((sigma_rel * stride)[:, None], n_or, axis=1).reshape(-1)
+        theta = thetas.reshape(-1)
+        respr = jnp.repeat(resp[:, None], n_or, axis=1).reshape(-1)
+        desc = descs.reshape(-1, 128)
+        mask = (jnp.repeat(valid[:, None], n_or, axis=1) & th_ok).reshape(-1)
+
+        all_xy.append(xy)
+        all_scale.append(scale)
+        all_theta.append(theta)
+        all_resp.append(respr)
+        all_desc.append(desc)
+        all_mask.append(mask)
+
+    xy = jnp.concatenate(all_xy)
+    scale = jnp.concatenate(all_scale)
+    theta = jnp.concatenate(all_theta)
+    resp = jnp.concatenate(all_resp)
+    desc = jnp.concatenate(all_desc)
+    mask = jnp.concatenate(all_mask)
+
+    # final selection: top max_keypoints by response among valid
+    K = cfg.max_keypoints
+    score = jnp.where(mask, resp, -1.0)
+    top_vals, top_idx = jax.lax.top_k(score, K)
+    sel_mask = top_vals > 0
+    out = SiftFeatures(
+        xy=jnp.where(sel_mask[:, None], xy[top_idx], 0.0),
+        scale=jnp.where(sel_mask, scale[top_idx], 1.0),
+        orientation=jnp.where(sel_mask, theta[top_idx], 0.0),
+        response=jnp.where(sel_mask, top_vals, 0.0),
+        desc=jnp.where(sel_mask[:, None], desc[top_idx], 0.0),
+        mask=sel_mask,
+    )
+    return out
+
+
+def extract_batch(imgs: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
+    """vmapped SIFT over a batch of same-size grayscale images (N, H, W).
+
+    The TPU-native replacement for the reference's per-image parfor
+    (`loadImages.m:82-99`).
+    """
+    return jax.vmap(lambda im: extract(im, cfg))(imgs)
+
+
+def rgb_to_gray(img: Array) -> Array:
+    """ITU-R BT.601 luma, matching MATLAB rgb2gray weights."""
+    return img[..., 0] * 0.2989 + img[..., 1] * 0.587 + img[..., 2] * 0.114
