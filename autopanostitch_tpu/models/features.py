@@ -1,0 +1,43 @@
+"""Feature-extraction stage: images -> batched SIFT features.
+
+Mirrors the reference stage `loadImages.m:82-99` (parfor over images calling
+`getFeaturePoints`), replaced by one vmapped SIFT over the padded image
+stack. Keypoints that fall in the zero-padding (or hug the valid border,
+where the pad edge creates false gradients) are masked out.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autopanostitch_tpu.config import DetectorConfig
+from autopanostitch_tpu.ops import sift
+from autopanostitch_tpu.ops.sift import SiftFeatures
+
+
+def extract_features(
+    images: jax.Array,
+    sizes: np.ndarray,
+    cfg: DetectorConfig = DetectorConfig(),
+    border: int = 6,
+) -> SiftFeatures:
+    """SIFT on an (N, H, W, 3) padded stack with per-image valid (h, w).
+
+    Returns batched SiftFeatures with padding/border keypoints masked.
+    """
+    gray = sift.rgb_to_gray(images)
+    feats = sift.extract_batch(gray, cfg)
+    sizes = jnp.asarray(sizes)
+    h_valid = sizes[:, 0][:, None].astype(jnp.float32)
+    w_valid = sizes[:, 1][:, None].astype(jnp.float32)
+    x = feats.xy[..., 0]
+    y = feats.xy[..., 1]
+    in_valid = (
+        (x >= border)
+        & (x <= w_valid - 1 - border)
+        & (y >= border)
+        & (y <= h_valid - 1 - border)
+    )
+    return feats._replace(mask=feats.mask & in_valid)

@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+
+import synthdata
+from autopanostitch_tpu.config import (
+    DetectorConfig,
+    ImageMatchConfig,
+    MatchingConfig,
+    StitchConfig,
+)
+from autopanostitch_tpu.models import pipeline
+from autopanostitch_tpu.utils.image_io import ImageSet
+
+
+def small_cfg(**kw):
+    return StitchConfig(
+        detector=DetectorConfig(max_keypoints=512, num_octaves=3),
+        matching=MatchingConfig(max_matches_per_pair=256),
+        image_match=ImageMatchConfig(ransac_batch=256, **kw),
+    )
+
+
+def make_set(views):
+    sizes = np.array([v.shape[:2] for v in views], np.int32)
+    H = sizes[:, 0].max()
+    W = sizes[:, 1].max()
+    stack = np.zeros((len(views), H, W, 3), np.float32)
+    for k, v in enumerate(views):
+        stack[k, : v.shape[0], : v.shape[1]] = v
+    return ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(len(views))])
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+class TestPlanarStitch:
+    def test_two_crop_stitch(self):
+        env = synthdata.texture(0, 500, 900)
+        boxes = [(0, 0, 520, 420), (350, 40, 520, 420)]
+        views = synthdata.planar_crops(env, boxes)
+        iset = make_set(views)
+        res = pipeline.stitch(iset, small_cfg())
+
+        assert len(res.panoramas) == 1
+        pano = res.panoramas[0]
+        assert pano["reachable"].all()
+        pan = pano["panorama"]
+        cov = pano["coverage"]
+        # canvas should cover the union extent ~ (870 x 460)
+        assert pan.shape[0] >= 440 and pan.shape[1] >= 850
+
+        # reconstruct ground truth in the anchor frame and compare
+        anchor = pano["anchor"]
+        ax, ay = boxes[anchor][0], boxes[anchor][1]
+        x0, y0 = pano["offset"]
+        ys, xs = np.nonzero(cov)
+        ex = (xs + x0 + ax).round().astype(int)
+        ey = (ys + y0 + ay).round().astype(int)
+        ok = (ex >= 0) & (ex < env.shape[1]) & (ey >= 0) & (ey < env.shape[0])
+        p = psnr(pan[ys[ok], xs[ok]], env[ey[ok], ex[ok]])
+        assert p > 30.0, f"stitch PSNR {p:.1f} dB"
+
+    def test_three_crop_chain(self):
+        """Crops 0-1 and 1-2 overlap; 0-2 barely. Chaining must cover all."""
+        env = synthdata.texture(1, 480, 1200)
+        boxes = [(0, 0, 460, 400), (330, 30, 460, 400), (660, 10, 460, 400)]
+        views = synthdata.planar_crops(env, boxes)
+        iset = make_set(views)
+        res = pipeline.stitch(iset, small_cfg())
+        assert len(res.panoramas) == 1
+        assert res.panoramas[0]["reachable"].all()
+        assert res.panoramas[0]["panorama"].shape[1] >= 1050
+
+    def test_multi_panorama_discovery(self):
+        """Two unrelated groups + one singleton -> two panoramas."""
+        env_a = synthdata.texture(2, 420, 800)
+        env_b = synthdata.texture(3, 420, 800)
+        va = synthdata.planar_crops(env_a, [(0, 0, 420, 380), (280, 20, 420, 380)])
+        vb = synthdata.planar_crops(env_b, [(10, 10, 420, 380), (300, 0, 420, 380)])
+        lone = synthdata.texture(4, 380, 420)
+        views = [va[0], vb[0], lone, va[1], vb[1]]
+        iset = make_set(views)
+        res = pipeline.stitch(iset, small_cfg())
+        assert len(res.panoramas) == 2
+        members = sorted(tuple(sorted(p["members"].tolist())) for p in res.panoramas)
+        assert members == [(0, 3), (1, 4)]
+        # singleton image 2 in neither
+        comps = res.components
+        assert (comps == comps[2]).sum() == 1
+
+    def test_match_graph_contents(self):
+        env = synthdata.texture(5, 500, 900)
+        boxes = [(0, 0, 520, 420), (350, 40, 520, 420)]
+        iset = make_set(synthdata.planar_crops(env, boxes))
+        res = pipeline.stitch(iset, small_cfg())
+        g = res.graph
+        assert g.accepted.any()
+        p = int(np.nonzero(g.accepted)[0][0])
+        # H should be ~ translation by (-350, -40) (image0 frame -> image1 frame)
+        H = g.H[p]
+        assert abs(H[0, 2] + 350) < 2.0
+        assert abs(H[1, 2] + 40) < 2.0
+        assert g.num_inliers[p] > 30
