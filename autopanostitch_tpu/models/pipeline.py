@@ -21,8 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from autopanostitch_tpu.config import StitchConfig
+from autopanostitch_tpu.models import bundle as bundle_stage
 from autopanostitch_tpu.models import features as features_stage
+from autopanostitch_tpu.models import gain as gain_stage
 from autopanostitch_tpu.models import planar as planar_stage
+from autopanostitch_tpu.models import render as render_stage
+from autopanostitch_tpu.models import straighten as straighten_stage
 from autopanostitch_tpu.ops import matching as mt
 from autopanostitch_tpu.ops import ransac as rs
 from autopanostitch_tpu.ops.sift import SiftFeatures
@@ -180,21 +184,112 @@ def stitch(
         members = np.nonzero(comps == label)[0]
         if len(members) < 2:
             continue
-        sel = graph.accepted & np.isin(graph.pairs[:, 0], members)
-        sub_pairs = graph.pairs[sel]
-        sub_H = graph.H[sel]
-        # remap indices into the member-local space
-        remap = {int(g): k for k, g in enumerate(members)}
-        loc_pairs = np.array([[remap[int(i)], remap[int(j)]] for i, j in sub_pairs], int)
-        result = planar_stage.render_planar(
-            image_set.images[members],
-            image_set.sizes[members],
-            loc_pairs,
-            sub_H,
-            blend_mode=cfg.blend.mode if cfg.blend.mode != "multiband" else "linear",
-            max_megapixel=cfg.render.max_megapixel,
-        )
-        result["members"] = members
+        result = stitch_component(image_set, graph, feats, members, cfg)
         panoramas.append(result)
 
     return StitchResult(panoramas=panoramas, graph=graph, components=comps, features=feats)
+
+
+def stitch_component(
+    image_set: ImageSet,
+    graph: MatchGraph,
+    feats: SiftFeatures,
+    members: np.ndarray,
+    cfg: StitchConfig,
+) -> Dict:
+    """Bundle-adjust, straighten, gain-compensate and render one panorama
+    component (the per-component body of `recognizePanoramas` +
+    `displayPanorama` in the reference)."""
+    acc = graph.accepted
+    ba = bundle_stage.run_bundle_adjustment(
+        members,
+        graph.pairs[acc],
+        graph.pair_idx[acc],
+        graph.pair_mask[acc],
+        graph.inliers[acc],
+        graph.H[acc],
+        np.asarray(feats.xy),
+        graph.counts,
+        image_set.sizes,
+        cfg.bundle,
+        force_planar=cfg.straighten.force_planar_scan,
+    )
+
+    images = image_set.images[members]
+    sizes = image_set.sizes[members]
+    n = len(members)
+    feathers = np.zeros(images.shape[:3], np.float32)
+    for k in range(n):
+        h, w = int(sizes[k][0]), int(sizes[k][1])
+        feathers[k, :h, :w] = planar_stage._feather_np(h, w)
+
+    result: Dict = {"members": members, "ba": ba}
+
+    if ba["no_rotation"] or cfg.straighten.force_planar_scan:
+        # planar path: chained homographies + planar composite
+        sel = acc.copy()
+        remap = {int(g): k for k, g in enumerate(members)}
+        keep = [
+            p
+            for p in range(len(graph.pairs))
+            if sel[p] and int(graph.pairs[p, 0]) in remap and int(graph.pairs[p, 1]) in remap
+        ]
+        loc_pairs = np.array(
+            [[remap[int(i)], remap[int(j)]] for i, j in graph.pairs[keep]], int
+        )
+        planar = planar_stage.render_planar(
+            images,
+            sizes,
+            loc_pairs,
+            graph.H[keep],
+            blend_mode=cfg.blend.mode if cfg.blend.mode != "multiband" else "linear",
+            max_megapixel=cfg.render.max_megapixel,
+        )
+        result.update(planar)
+        result["projections"] = {"planar": planar["panorama"]}
+        return result
+
+    cams = ba["cameras"]
+    R = np.asarray(cams.R)
+    K = np.asarray(cams.K())
+
+    # straightening (reference straightening.m, flag inputs.m:88)
+    R, straightened, S = straighten_stage.straighten_rotations(R, cfg.straighten)
+    result["straightened"] = straightened
+    result["R_render"] = R  # rotations actually used by the renderer
+
+    projections: Dict[str, np.ndarray] = {}
+    for mode in cfg.render.projections:
+        canvas = render_stage.compute_canvas(R, K, sizes, mode, cfg.render)
+        gains = gain_stage.compute_gains_rotational(
+            jnp.asarray(images),
+            jnp.asarray(feathers),
+            jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(K.astype(np.float32)),
+            mode,
+            canvas["f_pan"],
+            canvas["x0"],
+            canvas["y0"],
+            jnp.asarray(canvas["R_ref"]),
+            (canvas["Hc"], canvas["Wc"]),
+            cfg.gain,
+        )
+        pano, cover = render_stage.render_rotational(
+            images,
+            feathers,
+            R,
+            K,
+            canvas,
+            gains=gains,
+            blend_mode=cfg.blend.mode,
+            bands=cfg.blend.bands,
+            tile=cfg.render.tile,
+            angle_power=cfg.render.angle_power,
+        )
+        projections[mode] = pano
+        result.setdefault("canvas", {})[mode] = canvas
+        result.setdefault("gains", {})[mode] = gains
+        result["coverage"] = cover
+    result["projections"] = projections
+    result["panorama"] = next(iter(projections.values()))
+    return result

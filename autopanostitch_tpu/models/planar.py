@@ -24,6 +24,13 @@ from autopanostitch_tpu.ops import blend as blend_ops
 Array = jax.Array
 
 
+def _feather_np(h: int, w: int) -> np.ndarray:
+    """Host-side feather ramp (avoids a device roundtrip per image)."""
+    wx = np.maximum(1.0 - np.abs(np.linspace(-1.0, 1.0, w, dtype=np.float32)), 1e-4)
+    wy = np.maximum(1.0 - np.abs(np.linspace(-1.0, 1.0, h, dtype=np.float32)), 1e-4)
+    return wy[:, None] * wx[None, :]
+
+
 def chain_to_anchor(pairs: np.ndarray, Hs: np.ndarray, n: int, anchor: int | None = None):
     """Chain pairwise homographies to absolute ones via BFS on the match graph.
 
@@ -75,17 +82,12 @@ def planar_canvas_bounds(
     Mirrors `renderPanorama.m:551-569` + the 50 MP cap (`:167-176`).
     Returns (Hc, Wc, x0, y0, scale).
     """
-    x0 = y0 = np.inf
-    x1 = y1 = -np.inf
-    for k in range(len(sizes)):
-        if not reachable[k]:
-            continue
-        h, w = int(sizes[k][0]), int(sizes[k][1])
-        xmin, xmax, ymin, ymax = (
-            float(v) for v in samp.output_limits(jnp.asarray(H_abs[k]), h, w)
-        )
-        x0, x1 = min(x0, xmin), max(x1, xmax)
-        y0, y1 = min(y0, ymin), max(y1, ymax)
+    lims = np.asarray(
+        samp.output_limits_batch(jnp.asarray(H_abs), jnp.asarray(sizes, np.int32))
+    )  # (N, 4) in one device call
+    lims = lims[reachable]
+    x0, x1 = lims[:, 0].min(), lims[:, 1].max()
+    y0, y1 = lims[:, 2].min(), lims[:, 3].max()
     x0 -= pad
     y0 -= pad
     x1 += pad
@@ -98,6 +100,10 @@ def planar_canvas_bounds(
         scale = float(np.sqrt(cap / (Hc * Wc)))
         Hc = max(1, int(np.ceil(Hc * scale)))
         Wc = max(1, int(np.ceil(Wc * scale)))
+    # bucket canvas shape to multiples of 128 so XLA executables are reused
+    # across datasets (extra area stays uncovered and is cropped later)
+    Hc = int(np.ceil(Hc / 128) * 128)
+    Wc = int(np.ceil(Wc / 128) * 128)
     return Hc, Wc, float(x0), float(y0), scale
 
 
@@ -168,7 +174,7 @@ def render_planar(
     feathers = np.zeros(images.shape[:3], np.float32)
     for k in range(n):
         h, w = int(sizes[k][0]), int(sizes[k][1])
-        feathers[k, :h, :w] = np.asarray(samp.feather_weights(h, w))
+        feathers[k, :h, :w] = _feather_np(h, w)
     if gains is None:
         gains = np.ones((n, 3), np.float32)
 

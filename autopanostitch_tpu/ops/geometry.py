@@ -58,12 +58,34 @@ def homography_apply(H: Array, pts: Array) -> Array:
     return from_homogeneous(out)
 
 
+def inv3x3(H: Array) -> Array:
+    """Closed-form adjugate 3x3 inverse — elementwise, batched-friendly
+    (TPU has no fast tiny-matrix LU; jnp.linalg.inv on (B,3,3) serializes)."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det_safe = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det_safe[..., None, None]
+
+
 def homography_inverse(H: Array) -> Array:
     """Guarded 3x3 inverse, normalized so H[2,2] == 1 when possible."""
-    Hi = jnp.linalg.inv(H)
-    d = Hi[2, 2]
+    Hi = inv3x3(H)
+    d = Hi[..., 2, 2]
     scale = jnp.where(jnp.abs(d) > 1e-10, d, 1.0)
-    return Hi / scale
+    return Hi / scale[..., None, None]
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +153,39 @@ def fit_homography_dlt(src: Array, dst: Array, w: Array) -> Array:
     h = evecs[:, 0]
     Hn = h.reshape(3, 3)
     H = jnp.linalg.solve(Td, jnp.matmul(Hn, Ts, precision=_HI))
+    d = H[2, 2]
+    scale = jnp.where(jnp.abs(d) > 1e-10, d, 1.0)
+    return H / scale
+
+
+def fit_homography_4pt(src: Array, dst: Array, w: Array) -> Array:
+    """Fast minimal-case homography for RANSAC hypothesis generation.
+
+    Fixes h33 = 1 and solves the 8x8 linear system with Hartley-normalized
+    coordinates — batched LU is orders of magnitude cheaper on TPU than the
+    9x9 eigh nullspace of :func:`fit_homography_dlt`. The h33 ~ 0 degenerate
+    family simply scores badly in RANSAC and is filtered there.
+
+    The weight argument is accepted for interface compatibility (minimal
+    sets are always fully weighted).
+    """
+    del w
+    sn, Ts = hartley_normalize(src, jnp.ones(src.shape[0], src.dtype))
+    dn, Td = hartley_normalize(dst, jnp.ones(dst.shape[0], dst.dtype))
+    x, y = sn[:, 0], sn[:, 1]
+    u, v = dn[:, 0], dn[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (8, 8) for the 4-pt case
+    b = jnp.concatenate([u, v], axis=0)
+    # normal equations + regularization keep it batched-Cholesky friendly
+    AtA = jnp.matmul(A.T, A, precision=_HI) + 1e-8 * jnp.eye(8, dtype=src.dtype)
+    Atb = jnp.matmul(A.T, b, precision=_HI)
+    h = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(AtA), Atb)
+    Hn = jnp.concatenate([h, jnp.ones((1,), src.dtype)]).reshape(3, 3)
+    H = jnp.matmul(inv3x3(Td), jnp.matmul(Hn, Ts, precision=_HI), precision=_HI)
     d = H[2, 2]
     scale = jnp.where(jnp.abs(d) > 1e-10, d, 1.0)
     return H / scale
@@ -240,12 +295,25 @@ def symmetric_transfer_error(H: Array, src: Array, dst: Array) -> Array:
 
 def homography_is_valid(H: Array) -> Array:
     """Model validation: finite entries, non-degenerate (reference
-    `estimateTransformationRANSAC.m:518-574` uses rcond/det + SV ratio)."""
-    finite = jnp.all(jnp.isfinite(H))
-    det2 = H[0, 0] * H[1, 1] - H[0, 1] * H[1, 0]
-    sv = jnp.linalg.svd(H, compute_uv=False)
-    cond_ok = sv[0] / jnp.maximum(sv[2], _EPS) < 1e7
-    return finite & (jnp.abs(det2) > 1e-9) & cond_ok
+    `estimateTransformationRANSAC.m:518-574` uses rcond/det + SV ratio).
+
+    SVD-free (tiny batched SVDs serialize on TPU): the condition number is
+    bounded via  cond(H) <= ||H||_F * ||H^-1||_F  and
+    ||H^-1||_F = ||adj(H)||_F / |det| — all elementwise."""
+    finite = jnp.all(jnp.isfinite(H), axis=(-2, -1))
+    det2 = H[..., 0, 0] * H[..., 1, 1] - H[..., 0, 1] * H[..., 1, 0]
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    det3 = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    adj_fro2 = (
+        (e * i - f * h) ** 2 + (b * i - c * h) ** 2 + (b * f - c * e) ** 2
+        + (d * i - f * g) ** 2 + (a * i - c * g) ** 2 + (a * f - c * d) ** 2
+        + (d * h - e * g) ** 2 + (a * h - b * g) ** 2 + (a * e - b * d) ** 2
+    )
+    fro2 = jnp.sum(H * H, axis=(-2, -1))
+    cond_bound = jnp.sqrt(fro2 * adj_fro2) / jnp.maximum(jnp.abs(det3), _EPS)
+    return finite & (jnp.abs(det2) > 1e-9) & (jnp.abs(det3) > 1e-12) & (cond_bound < 3e7)
 
 
 # ---------------------------------------------------------------------------

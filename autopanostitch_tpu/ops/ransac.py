@@ -31,12 +31,15 @@ from autopanostitch_tpu.ops import geometry as geo
 
 Array = jax.Array
 
+# (minimal-case fitter, weighted refit fitter, minimal point count).
+# The projective minimal case uses the fast 8x8-solve form; the refit uses
+# the stabler eigh DLT (only B-independent, so its cost is negligible).
 _MODEL_FITTERS = {
-    "projective": (geo.fit_homography_dlt, 4),
-    "affine": (geo.fit_affine, 3),
-    "similarity": (geo.fit_similarity, 2),
-    "rigid": (geo.fit_rigid, 2),
-    "translation": (geo.fit_translation, 1),
+    "projective": (geo.fit_homography_4pt, geo.fit_homography_dlt, 4),
+    "affine": (geo.fit_affine, geo.fit_affine, 3),
+    "similarity": (geo.fit_similarity, geo.fit_similarity, 2),
+    "rigid": (geo.fit_rigid, geo.fit_rigid, 2),
+    "translation": (geo.fit_translation, geo.fit_translation, 1),
 }
 
 
@@ -107,7 +110,7 @@ def ransac_fit(
 
     Returns RansacResult. All shapes static — safe under vmap over pairs.
     """
-    fit_fn, min_pts = _MODEL_FITTERS[model]
+    fit_min, fit_refit, min_pts = _MODEL_FITTERS[model]
     M = src.shape[0]
     n_valid = jnp.sum(mask.astype(jnp.int32))
 
@@ -115,7 +118,7 @@ def ransac_fit(
     src_min = src[idx]  # (B, p, 2)
     dst_min = dst[idx]
     ones = jnp.ones((batch, min_pts), src.dtype)
-    Hs = jax.vmap(fit_fn)(src_min, dst_min, ones)  # (B, 3, 3)
+    Hs = jax.vmap(fit_min)(src_min, dst_min, ones)  # (B, 3, 3)
 
     err = jax.vmap(lambda H: geo.symmetric_transfer_error(H, src, dst))(Hs)  # (B, M)
     err = jnp.where(jnp.isfinite(err), err, jnp.float32(1e9))
@@ -131,7 +134,7 @@ def ransac_fit(
     # `estimateTransformationRANSAC.m:146-181`) ---
     def irls_step(carry, _):
         H, w = carry
-        H_new = fit_fn(src, dst, w)
+        H_new = fit_refit(src, dst, w)
         e = geo.symmetric_transfer_error(H_new, src, dst)
         # Huber-style weights within the inlier band, hard cut at threshold
         w_new = jnp.where((e < threshold) & mask, 1.0 / jnp.maximum(e / threshold, 0.5), 0.0)
@@ -154,6 +157,10 @@ def ransac_fit(
     return RansacResult(H_final, inl_final & success, n_final * success, n_valid, success)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("model", "method", "batch", "chunk"),
+)
 def verify_pairs(
     pair_src: Array,
     pair_dst: Array,

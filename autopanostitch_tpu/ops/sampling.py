@@ -140,11 +140,12 @@ def feather_weights(h: int, w: int, dtype=jnp.float32) -> Array:
     return wy[:, None] * wx[None, :]
 
 
-def output_limits(H: Array, h: int, w: int, n_samples: int = 64):
+def output_limits(H: Array, h, w, n_samples: int = 64):
     """Transformed bounding box of an (h, w) image under homography H.
 
     Samples the image boundary (like `imageProcessing/outputLimitsScratch.m:71-112`)
     and returns (x_min, x_max, y_min, y_max) over finite outputs.
+    h and w may be traced scalars (only used as extents).
     """
     t = jnp.linspace(0.0, 1.0, n_samples)
     xs = t * (w - 1)
@@ -169,3 +170,15 @@ def output_limits(H: Array, h: int, w: int, n_samples: int = 64):
     x_max = jnp.max(x)
     y_max = jnp.max(y)
     return x_min, x_max, y_min, y_max
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def output_limits_batch(Hs: Array, sizes: Array, n_samples: int = 64) -> Array:
+    """Batched output_limits: (N,3,3) x (N,2 [h,w]) -> (N,4) [xmin,xmax,ymin,ymax].
+
+    One jitted call for the whole image set — the per-image eager version
+    costs a host roundtrip per image."""
+    def one(H, hw):
+        return jnp.stack(output_limits(H, hw[0].astype(jnp.float32), hw[1].astype(jnp.float32), n_samples))
+
+    return jax.vmap(one)(Hs, sizes)

@@ -467,6 +467,7 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def extract_batch(imgs: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
     """vmapped SIFT over a batch of same-size grayscale images (N, H, W).
 

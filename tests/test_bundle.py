@@ -1,0 +1,235 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import synthdata
+from autopanostitch_tpu.config import BundleConfig
+from autopanostitch_tpu.models import bundle
+from autopanostitch_tpu.ops import geometry as geo
+
+
+def H_from_cams(f, R_rel, size):
+    """Ground-truth homography i->j for pure rotation: K R_j R_i^T K^-1."""
+    h, w = size
+    K = np.array([[f, 0, (w - 1) / 2], [0, f, (h - 1) / 2], [0, 0, 1.0]])
+    H = K @ R_rel @ np.linalg.inv(K)
+    return H / H[2, 2]
+
+
+class TestFocalEstimation:
+    @pytest.mark.parametrize("method", ["wConstraint", "shumSzeliskiOneHPaper"])
+    def test_recovers_focal_from_exact_H(self, method):
+        f_true = 420.0
+        size = (360, 480)
+        rng = np.random.default_rng(0)
+        pairs, Hs = [], []
+        for k in range(4):
+            w = rng.normal(size=3) * np.array([0.1, 0.45, 0.05])
+            R_rel = np.asarray(geo.so3_exp(jnp.asarray(w, jnp.float32)))
+            pairs.append((0, 1))
+            Hs.append(H_from_cams(f_true, R_rel, size))
+        f_est = bundle.estimate_focal(
+            np.array(pairs), np.stack(Hs), np.array([size, size]), method
+        )
+        assert abs(f_est - f_true) / f_true < 0.05, f"{method}: {f_est} vs {f_true}"
+
+    def test_fallback_focal(self):
+        f = bundle.estimate_focal(np.zeros((0, 2), int), np.zeros((0, 3, 3)), np.array([[300, 400]]))
+        assert f == pytest.approx(0.8 * 400)
+
+
+class TestMST:
+    def test_chain(self):
+        counts = np.array([[0, 10, 1], [10, 0, 20], [1, 20, 0]])
+        edges = bundle.max_spanning_tree(counts)
+        assert sorted(tuple(sorted(e)) for e in edges) == [(0, 1), (1, 2)]
+
+    def test_prefers_heavy_edges(self):
+        counts = np.zeros((4, 4))
+        counts[0, 1] = counts[1, 0] = 5
+        counts[1, 2] = counts[2, 1] = 50
+        counts[0, 2] = counts[2, 0] = 40
+        counts[2, 3] = counts[3, 2] = 7
+        edges = bundle.max_spanning_tree(counts)
+        es = set(tuple(sorted(e)) for e in edges)
+        assert (1, 2) in es and (0, 2) in es and (2, 3) in es
+
+
+class TestRotationInit:
+    def test_relative_rotation_roundtrip(self):
+        f = 500.0
+        size = (400, 600)
+        w = np.array([0.05, 0.3, 0.02])
+        R_rel = np.asarray(geo.so3_exp(jnp.asarray(w, jnp.float32)))  # R_j R_i^T
+        H = H_from_cams(f, R_rel, size)
+        R_est = bundle.relative_rotation(H, size, size, f)
+        err = np.degrees(np.arccos(np.clip((np.trace(R_est.T @ R_rel) - 1) / 2, -1, 1)))
+        assert err < 0.2
+
+    def test_propagation_and_consistency_rotational(self):
+        f = 450.0
+        size = (360, 480)
+        rng = np.random.default_rng(1)
+        n = 4
+        Rs = [np.eye(3)]
+        for k in range(1, n):
+            w = rng.normal(size=3) * np.array([0.05, 0.3, 0.02])
+            Rs.append(np.asarray(geo.so3_exp(jnp.asarray(w, jnp.float32))) @ Rs[-1])
+        pairs, Hs = [], []
+        for i in range(n - 1):
+            R_rel = Rs[i + 1] @ Rs[i].T
+            pairs.append((i, i + 1))
+            Hs.append(H_from_cams(f, R_rel, size))
+        # extra loop-closure edge
+        pairs.append((0, n - 1))
+        Hs.append(H_from_cams(f, Rs[n - 1] @ Rs[0].T, size))
+        pairs = np.array(pairs)
+        Hs = np.stack(Hs)
+        sizes = np.tile(size, (n, 1))
+        pair_H = {tuple(map(int, p)): Hs[k] for k, p in enumerate(pairs)}
+        tree = [(i, i + 1) for i in range(n - 1)]
+        R0 = bundle.propagate_rotations(n, tree, pair_H, sizes, f, seed=0)
+        no_rot, mean_ae, med_ae, max_ae = bundle.rotation_consistency(pairs, Hs, sizes, R0, f)
+        assert not no_rot
+        assert med_ae < 1.0
+        for k in range(n):
+            D = R0[k] @ Rs[k].T @ (R0[0] @ Rs[0].T).T  # up to global gauge
+            err = np.degrees(np.arccos(np.clip((np.trace(D) - 1) / 2, -1, 1)))
+            assert err < 1.0
+
+    def test_planar_classified_no_rotation(self):
+        """A long pure-translation scan with long-range edges cannot be
+        explained by rotations: the atan nonlinearity makes chained vs
+        direct relative rotations wildly inconsistent -> noRotation.
+        (A short 3-4 image translation chain is genuinely rotation-like and
+        the reference's thresholds would classify it rotational too.)"""
+        n = 10
+        size = (400, 500)
+        sizes = np.tile(size, (n, 1))
+        pairs, Hs = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                H = np.eye(3)
+                H[0, 2] = 400.0 * (j - i)
+                pairs.append((i, j))
+                Hs.append(H.copy())
+        pairs = np.array(pairs)
+        Hs = np.stack(Hs)
+        f = bundle.estimate_focal(pairs, Hs, sizes)
+        pair_H = {tuple(map(int, p)): Hs[k] for k, p in enumerate(pairs)}
+        tree = [(i, i + 1) for i in range(n - 1)]
+        R0 = bundle.propagate_rotations(n, tree, pair_H, sizes, f, seed=0)
+        no_rot, *_ = bundle.rotation_consistency(pairs, Hs, sizes, R0, f)
+        assert no_rot
+
+
+class TestBundleAdjustment:
+    def _synthetic_graph(self, n=4, f=380.0, size=(300, 400), n_matches=60, noise=0.3, seed=0):
+        """Exact rotational cameras + noisy reprojected matches."""
+        rng = np.random.default_rng(seed)
+        h, w = size
+        Rs = [np.eye(3)]
+        for k in range(1, n):
+            ang = rng.normal(size=3) * np.array([0.03, 0.28, 0.02])
+            Rs.append(np.asarray(geo.so3_exp(jnp.asarray(ang, jnp.float32))) @ Rs[-1])
+        K = np.array([[f, 0, (w - 1) / 2], [0, f, (h - 1) / 2], [0, 0, 1.0]])
+        Kinv = np.linalg.inv(K)
+
+        pairs, Hs, u_is, u_js = [], [], [], []
+        counts = np.zeros((n, n), int)
+        M = 128
+        for i in range(n):
+            for j in range(i + 1, n):
+                R_rel = Rs[j] @ Rs[i].T
+                H = K @ R_rel @ Kinv
+                # generate matches: points in i that land inside j
+                pts = rng.uniform([10, 10], [w - 10, h - 10], size=(400, 2))
+                ph = np.concatenate([pts, np.ones((400, 1))], -1) @ H.T
+                pj = ph[:, :2] / ph[:, 2:3]
+                ok = (ph[:, 2] > 0) & (pj[:, 0] > 5) & (pj[:, 0] < w - 5) & (pj[:, 1] > 5) & (pj[:, 1] < h - 5)
+                if ok.sum() < 12:
+                    continue
+                sel = np.nonzero(ok)[0][:n_matches]
+                pairs.append((i, j))
+                Hs.append(H / H[2, 2])
+                ui = np.zeros((M, 2), np.float32)
+                uj = np.zeros((M, 2), np.float32)
+                ui[: len(sel)] = pts[sel]
+                uj[: len(sel)] = pj[sel] + noise * rng.normal(size=(len(sel), 2))
+                u_is.append(ui)
+                u_js.append(uj)
+                counts[i, j] = counts[j, i] = len(sel)
+        pairs = np.array(pairs)
+        return Rs, K, pairs, np.stack(Hs), np.stack(u_is), np.stack(u_js), counts, M
+
+    def test_ba_refines_to_subpixel(self):
+        f_true = 380.0
+        n = 4
+        size = (300, 400)
+        Rs, K, pairs, Hs, u_i, u_j, counts, M = self._synthetic_graph(n=n, f=f_true, size=size)
+        sizes = np.tile(size, (n, 1))
+
+        # build the pipeline-level inputs for run_bundle_adjustment
+        P = len(pairs)
+        nm = (u_i[..., 0] > 0) | (u_i[..., 1] > 0)
+        pair_mask = nm
+        inliers = nm
+        # fake per-pair keypoint table: store coords directly
+        K_cap = M
+        xy = np.zeros((n, P * K_cap, 2), np.float32)
+        pair_idx = np.zeros((P, K_cap, 2), np.int32)
+        for p in range(P):
+            i, j = pairs[p]
+            sl = slice(p * K_cap, (p + 1) * K_cap)
+            xy[i, sl] = u_i[p]
+            xy[j, sl] = u_j[p]
+            pair_idx[p, :, 0] = np.arange(p * K_cap, (p + 1) * K_cap)
+            pair_idx[p, :, 1] = np.arange(p * K_cap, (p + 1) * K_cap)
+
+        cfg = BundleConfig(incremental_lm_iters=6, max_iter_lm=15, max_matches=64)
+        res = bundle.run_bundle_adjustment(
+            np.arange(n), pairs, pair_idx, pair_mask, inliers, Hs, xy, counts, sizes, cfg
+        )
+        assert not res["no_rotation"]
+        cams = res["cameras"]
+        f_est = np.asarray(cams.f)
+        assert np.all(np.abs(f_est - f_true) / f_true < 0.08), f_est
+
+        # relative rotations must match ground truth up to gauge
+        R_est = np.asarray(cams.R)
+        for a in range(n):
+            for b in range(a + 1, n):
+                D_est = R_est[b] @ R_est[a].T
+                D_true = Rs[b] @ Rs[a].T
+                err = np.degrees(np.arccos(np.clip((np.trace(D_est.T @ D_true) - 1) / 2, -1, 1)))
+                assert err < 0.5, f"pair {a},{b}: {err} deg"
+
+    def test_planar_component_skips_device_ba(self):
+        """A long translation scan is classified noRotation and bypasses the
+        R,K,f device BA (the homography-BA path handles it instead)."""
+        n = 10
+        size = (400, 500)
+        sizes = np.tile(size, (n, 1))
+        pairs, Hs = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                H = np.eye(3)
+                H[0, 2] = 400.0 * (j - i)
+                pairs.append((i, j))
+                Hs.append(H.copy())
+        pairs = np.array(pairs)
+        Hs = np.stack(Hs)
+        P = len(pairs)
+        counts = np.zeros((n, n), int)
+        for i, j in pairs:
+            # adjacent views overlap most -> MST becomes the chain (like a
+            # real linear scan); long-range edges exist but are weaker
+            counts[i, j] = counts[j, i] = 100 if j - i == 1 else 30
+        pair_idx = np.zeros((P, 8, 2), np.int32)
+        pair_mask = np.ones((P, 8), bool)
+        xy = np.zeros((n, 8, 2), np.float32)
+        res = bundle.run_bundle_adjustment(
+            np.arange(n), pairs, pair_idx, pair_mask, pair_mask, Hs, xy, counts, sizes
+        )
+        assert res["no_rotation"]
+        assert "final_cost" not in res

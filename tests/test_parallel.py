@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import synthdata
+from autopanostitch_tpu.config import DetectorConfig
+from autopanostitch_tpu.ops import matching as mt
+from autopanostitch_tpu.parallel import mesh as pmesh
+from autopanostitch_tpu.parallel import sharded
+
+
+def test_mesh_has_8_devices():
+    m = pmesh.make_mesh()
+    assert m.devices.size == 8
+
+
+def test_sharded_extract_matches_single_device():
+    cfg = DetectorConfig(max_keypoints=128, num_octaves=2)
+    imgs = np.stack([synthdata.texture(s, 128, 128).mean(-1) for s in range(8)]).astype(np.float32)
+    m = pmesh.make_mesh()
+    f_sh = sharded.sharded_extract(jnp.asarray(imgs), m, cfg)
+    from autopanostitch_tpu.ops import sift
+
+    f_ref = sift.extract_batch(jnp.asarray(imgs), cfg)
+    np.testing.assert_allclose(np.asarray(f_sh.xy), np.asarray(f_ref.xy), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(f_sh.mask), np.asarray(f_ref.mask))
+
+
+def test_sharded_knn_matches_single_device():
+    r = np.random.default_rng(0)
+    F, D = 200, 32
+    desc = r.normal(size=(F, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    ids = np.repeat(np.arange(4), 50).astype(np.int32)
+    mask = np.ones(F, bool)
+    m = pmesh.make_mesh()
+    i_sh, d_sh = sharded.sharded_global_knn(
+        jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(ids), m, k=3
+    )
+    i_ref, d_ref = mt.global_knn(jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(ids), k=3, block=64)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+
+def test_sharded_verify_pairs():
+    r = np.random.default_rng(1)
+    P_, M = 6, 64
+    src = np.zeros((P_, M, 2), np.float32)
+    dst = np.zeros((P_, M, 2), np.float32)
+    mask = np.zeros((P_, M), bool)
+    for p in range(P_):
+        pts = r.uniform(0, 300, size=(48, 2)).astype(np.float32)
+        t = r.uniform(-50, 50, size=2).astype(np.float32)
+        src[p, :48] = pts
+        dst[p, :48] = pts + t
+        dst[p, 40:48] = r.uniform(0, 300, size=(8, 2))  # outliers
+        mask[p, :48] = True
+    keys = jax.random.split(jax.random.PRNGKey(0), P_)
+    m = pmesh.make_mesh()
+    out = sharded.sharded_verify_pairs(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask), keys, m,
+        threshold=2.0, batch=128,
+    )
+    assert np.asarray(out["accepted"]).all()
+    assert (np.asarray(out["num_inliers"]) >= 38).all()
+
+
+def test_psum_gain_stats():
+    m = pmesh.make_mesh()
+    n_img = 4
+    local_overlap = jnp.ones((8, n_img, n_img))
+    local_colors = jnp.full((8, n_img, n_img, 3), 2.0)
+    ov, cs = sharded.psum_gain_stats(local_overlap, local_colors, m)
+    np.testing.assert_allclose(np.asarray(ov)[0], 8.0)
+    np.testing.assert_allclose(np.asarray(cs)[0], 16.0)
