@@ -1,0 +1,123 @@
+"""Command-line driver — the reference's `main.m` equivalent.
+
+Enumerates dataset folders, stitches each into one or more panoramas, saves
+results with the reference's naming scheme, and prints per-stage timings.
+
+Usage:
+  python -m autopanostitch_tpu.cli <datasets_root_or_folder> \
+      [--out results] [--projections spherical,cylindrical] \
+      [--blend multiband] [--crop] [--force-planar] [--log log.txt]
+
+A folder is treated as a single dataset if it directly contains images,
+otherwise every image-bearing subfolder is a dataset (reference
+`main.m:55-61` folder enumeration).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def find_datasets(root: str):
+    from autopanostitch_tpu.utils.image_io import list_dataset
+
+    direct = list_dataset(root)
+    if direct:
+        return {os.path.basename(os.path.normpath(root)) or "dataset": direct}
+    out = {}
+    for name in sorted(os.listdir(root)):
+        sub = os.path.join(root, name)
+        if os.path.isdir(sub):
+            imgs = list_dataset(sub)
+            if imgs:
+                out[name] = imgs
+    return out
+
+
+def build_config(args):
+    from autopanostitch_tpu.config import (
+        BlendConfig,
+        RenderConfig,
+        PostConfig,
+        StitchConfig,
+        StraightenConfig,
+    )
+
+    return StitchConfig(
+        blend=BlendConfig(mode=args.blend),
+        render=RenderConfig(
+            projections=tuple(args.projections.split(",")),
+            height_limit=args.size_limit,
+            width_limit=args.size_limit,
+        ),
+        straighten=StraightenConfig(force_planar_scan=args.force_planar),
+        post=PostConfig(crop_panorama=args.crop, image_save_folder=args.out),
+    )
+
+
+def stitch_dataset(name: str, paths, cfg, out_dir: str):
+    from autopanostitch_tpu.models import pipeline
+    from autopanostitch_tpu.utils.image_io import load_image_set, save_image
+    from autopanostitch_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    print(f"=== Dataset: {name} ({len(paths)} images) ===")
+    with timer.stage("Image loading"):
+        iset = load_image_set(paths, cfg.render.height_limit, cfg.render.width_limit)
+    with timer.stage("Stitching (features/match/BA/render)"):
+        result = pipeline.stitch(iset, cfg)
+    with timer.stage("Crop & save"):
+        for pano_i, pano in enumerate(result.panoramas):
+            panos = pano.get("projections_cropped") or pano["projections"]
+            for mode, img in panos.items():
+                fname = f"{mode}_{name}_{pano_i}.png"
+                save_image(os.path.join(out_dir, fname), img)
+                print(f"  wrote {fname}  {img.shape[1]}x{img.shape[0]}")
+    timer.report()
+    print(
+        f"panoramas: {len(result.panoramas)}; components: "
+        f"{len(np.unique(result.components))}; accepted pairs: "
+        f"{int(result.graph.accepted.sum())}"
+    )
+    return result
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root", help="dataset folder or folder of dataset folders")
+    ap.add_argument("--out", default="results")
+    ap.add_argument("--projections", default="spherical")
+    ap.add_argument("--blend", default="multiband", choices=["multiband", "linear", "none"])
+    ap.add_argument("--crop", action="store_true")
+    ap.add_argument("--force-planar", action="store_true")
+    ap.add_argument("--size-limit", type=int, default=800)
+    ap.add_argument("--log", default=None)
+    args = ap.parse_args(argv)
+
+    cfg = build_config(args)
+    os.makedirs(args.out, exist_ok=True)
+    datasets = find_datasets(args.root)
+    if not datasets:
+        print(f"no images found under {args.root}", file=sys.stderr)
+        return 1
+
+    def run():
+        for name, paths in datasets.items():
+            stitch_dataset(name, paths, cfg, args.out)
+
+    if args.log:
+        from autopanostitch_tpu.utils.timing import Tee
+
+        with Tee(args.log):
+            run()
+    else:
+        run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,12 +23,22 @@ def extract_features(
     cfg: DetectorConfig = DetectorConfig(),
     border: int = 6,
 ) -> SiftFeatures:
-    """SIFT on an (N, H, W, 3) padded stack with per-image valid (h, w).
+    """Feature extraction on an (N, H, W, 3) padded stack.
 
+    Dispatches on cfg.detector like `getFeaturePoints.m:33-64`: 'SIFT'
+    (default, float descriptors) or the binary corner detectors
+    'HARRIS' | 'FAST' | 'ORB' | 'BRISK' (256-bit rotated-BRIEF as {0,1}
+    vectors — Hamming == squared L2, so matching is unchanged).
     Returns batched SiftFeatures with padding/border keypoints masked.
     """
     gray = sift.rgb_to_gray(images)
-    feats = sift.extract_batch(gray, cfg)
+    det = cfg.detector.upper()
+    if det in ("HARRIS", "FAST", "ORB", "BRISK"):
+        from autopanostitch_tpu.ops import corners
+
+        feats = corners.extract_corners_batch(gray, cfg, det.lower())
+    else:  # SIFT (SURF/KAZE requests fall back to SIFT with a note)
+        feats = sift.extract_batch(gray, cfg)
     sizes = jnp.asarray(sizes)
     h_valid = sizes[:, 0][:, None].astype(jnp.float32)
     w_valid = sizes[:, 1][:, None].astype(jnp.float32)

@@ -66,7 +66,10 @@ def overlap_statistics(
         col, ok = samp.sample_bilinear(img, u, v)
         wf, _ = samp.sample_bilinear(feather[..., None], u, v)
         valid = ok & front & (wf[..., 0] > 1e-4)
-        return col, valid
+        # Brown-Lowe Eq.29 sigmas (sigmaN=10, sigmag=0.1, inputs.m:95-96)
+        # are calibrated for 0-255 intensities (the reference samples
+        # single(uint8) without dividing); our images are [0,1]
+        return col * 255.0, valid
 
     def step(carry, inputs):
         Nij, sumC = carry
@@ -95,6 +98,94 @@ def overlap_statistics(
         (d.reshape(nchunks, chunk, 3), pad_valid.reshape(nchunks, chunk)),
     )
     return Nij, sumC
+
+
+@partial(jax.jit, static_argnames=("grid_h", "grid_w", "chunk"))
+def overlap_statistics_planar(
+    images: Array,  # (N, H, W, 3)
+    feathers: Array,  # (N, H, W)
+    H_inv: Array,  # (N, 3, 3) canvas coord -> source pixel
+    x0,
+    y0,
+    stride,
+    grid_h: int,
+    grid_w: int,
+    chunk: int = 16384,
+):
+    """Planar-path overlap statistics (reference `gainCompensationH.m`):
+    the canvas subgrid maps into each image through its inverse homography
+    instead of ray projection; the reference instead recomputes stats from
+    already-warped canvas images (`:44-149`) — mapping the grid is the same
+    math without materializing N warped canvases."""
+    N = images.shape[0]
+    ys, xs = jnp.mgrid[0:grid_h, 0:grid_w]
+    xp = (xs * stride).astype(jnp.float32).reshape(-1) + x0
+    yp = (ys * stride).astype(jnp.float32).reshape(-1) + y0
+    G = xp.shape[0]
+    nchunks = (G + chunk - 1) // chunk
+    Gpad = nchunks * chunk
+    xp = jnp.pad(xp, (0, Gpad - G))
+    yp = jnp.pad(yp, (0, Gpad - G))
+    pad_valid = jnp.pad(jnp.ones((G,), bool), (0, Gpad - G))
+
+    def per_image(img, feather, Hi, xx, yy):
+        den = Hi[2, 0] * xx + Hi[2, 1] * yy + Hi[2, 2]
+        den = jnp.where(jnp.abs(den) < 1e-10, 1e-10, den)
+        u = (Hi[0, 0] * xx + Hi[0, 1] * yy + Hi[0, 2]) / den
+        v = (Hi[1, 0] * xx + Hi[1, 1] * yy + Hi[1, 2]) / den
+        col, ok = samp.sample_bilinear(img, u, v)
+        wf, _ = samp.sample_bilinear(feather[..., None], u, v)
+        valid = ok & (wf[..., 0] > 1e-4) & (den > 0)
+        return col * 255.0, valid  # 0-255 scale, see overlap_statistics
+
+    def step(carry, inputs):
+        Nij, sumC = carry
+        xx, yy, pv = inputs
+        col, valid = jax.vmap(lambda im, fe, Hi: per_image(im, fe, Hi, xx, yy))(
+            images, feathers, H_inv
+        )
+        V = (valid & pv[None, :]).astype(jnp.float32)
+        Nij = Nij + jax.lax.dot_general(
+            V, V, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        for c in range(3):
+            vc = V * col[:, :, c]
+            sumC = sumC.at[:, :, c].add(
+                jax.lax.dot_general(
+                    vc, V, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            )
+        return (Nij, sumC), None
+
+    init = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
+    (Nij, sumC), _ = jax.lax.scan(
+        step,
+        init,
+        (
+            xp.reshape(nchunks, chunk),
+            yp.reshape(nchunks, chunk),
+            pad_valid.reshape(nchunks, chunk),
+        ),
+    )
+    return Nij, sumC
+
+
+def compute_gains_planar(
+    images, feathers, H_inv, x0, y0, canvas_hw, cfg: GainConfig = GainConfig()
+):
+    """Planar-path gain compensation (reference `gainCompensationH.m`)."""
+    n = images.shape[0]
+    if not cfg.enabled:
+        return np.ones((n, 3), np.float32)
+    Hc, Wc = canvas_hw
+    stride = cfg.grid_stride
+    gh = max(1, int(np.ceil(Hc / stride)))
+    gw = max(1, int(np.ceil(Wc / stride)))
+    Nij, sumC = overlap_statistics_planar(
+        jnp.asarray(images), jnp.asarray(feathers), jnp.asarray(H_inv),
+        x0, y0, jnp.float32(stride), gh, gw,
+    )
+    return solve_gains(np.asarray(Nij), np.asarray(sumC), cfg)
 
 
 def solve_gains(

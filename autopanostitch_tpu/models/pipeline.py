@@ -22,6 +22,8 @@ import numpy as np
 
 from autopanostitch_tpu.config import StitchConfig
 from autopanostitch_tpu.models import bundle as bundle_stage
+from autopanostitch_tpu.models import bundle_h as bundle_h_stage
+from autopanostitch_tpu.models import crop as crop_stage
 from autopanostitch_tpu.models import features as features_stage
 from autopanostitch_tpu.models import gain as gain_stage
 from autopanostitch_tpu.models import planar as planar_stage
@@ -29,6 +31,7 @@ from autopanostitch_tpu.models import render as render_stage
 from autopanostitch_tpu.models import straighten as straighten_stage
 from autopanostitch_tpu.ops import matching as mt
 from autopanostitch_tpu.ops import ransac as rs
+from autopanostitch_tpu.ops import sampling as samp_ops
 from autopanostitch_tpu.ops.sift import SiftFeatures
 from autopanostitch_tpu.utils.image_io import ImageSet
 
@@ -48,9 +51,28 @@ class MatchGraph:
 
 
 def match_features(feats: SiftFeatures, cfg: StitchConfig):
-    """Global pooled matching (`featureMatchingGlobal.m`) producing per-pair
-    putative match lists. Returns (pairs, pair_idx, pair_mask, counts)."""
+    """Feature matching stage producing per-pair putative match lists.
+
+    Global pooled mode (`featureMatchingGlobal.m`, default) or pairwise mode
+    (`featureMatchingPairwise.m`, `inputs.m:46 matchFeaturesPairwise`).
+    Returns (pairs, pair_idx, pair_mask, counts)."""
     N, K, D = feats.desc.shape
+
+    if cfg.matching.match_pairwise:
+        pairs, idx, m, n = mt.match_all_pairs(
+            feats.desc,
+            feats.mask,
+            ratio=cfg.matching.ratio_threshold,
+            max_matches=cfg.matching.max_matches_per_pair,
+        )
+        pairs = np.asarray(pairs)
+        n = np.asarray(n)
+        counts = np.zeros((N, N), np.int32)
+        counts[pairs[:, 0], pairs[:, 1]] = n
+        counts += counts.T
+        keep = n > 0
+        return pairs[keep], np.asarray(idx)[keep], np.asarray(m)[keep], counts
+
     desc = feats.desc.reshape(N * K, D)
     mask = feats.mask.reshape(N * K)
     image_id = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
@@ -167,7 +189,10 @@ def stitch(
     point as stages land.
     """
     key = jax.random.PRNGKey(seed)
-    images = jnp.asarray(image_set.images)
+    images = jnp.asarray(image_set.images)  # single upload; stages reuse it
+    feathers = samp_ops.feather_stack(
+        jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
+    )
     feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
 
     pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
@@ -184,7 +209,8 @@ def stitch(
         members = np.nonzero(comps == label)[0]
         if len(members) < 2:
             continue
-        result = stitch_component(image_set, graph, feats, members, cfg)
+        result = stitch_component(image_set, graph, feats, members, cfg,
+                                  images_dev=images, feathers_dev=feathers)
         panoramas.append(result)
 
     return StitchResult(panoramas=panoramas, graph=graph, components=comps, features=feats)
@@ -196,6 +222,8 @@ def stitch_component(
     feats: SiftFeatures,
     members: np.ndarray,
     cfg: StitchConfig,
+    images_dev=None,
+    feathers_dev=None,
 ) -> Dict:
     """Bundle-adjust, straighten, gain-compensate and render one panorama
     component (the per-component body of `recognizePanoramas` +
@@ -215,38 +243,69 @@ def stitch_component(
         force_planar=cfg.straighten.force_planar_scan,
     )
 
-    images = image_set.images[members]
     sizes = image_set.sizes[members]
     n = len(members)
-    feathers = np.zeros(images.shape[:3], np.float32)
-    for k in range(n):
-        h, w = int(sizes[k][0]), int(sizes[k][1])
-        feathers[k, :h, :w] = planar_stage._feather_np(h, w)
+    mem_d = jnp.asarray(members)
+    if images_dev is None:
+        images_dev = jnp.asarray(image_set.images)
+    if feathers_dev is None:
+        feathers_dev = samp_ops.feather_stack(
+            jnp.asarray(image_set.sizes, np.int32),
+            image_set.images.shape[1],
+            image_set.images.shape[2],
+        )
+    images = images_dev[mem_d]  # device gather, no host transfer
+    feathers = feathers_dev[mem_d]
 
     result: Dict = {"members": members, "ba": ba}
 
     if ba["no_rotation"] or cfg.straighten.force_planar_scan:
-        # planar path: chained homographies + planar composite
-        sel = acc.copy()
+        # planar path: chain -> joint 8-DOF homography BA -> composite
+        # (reference bundleAdjustmentH.m + pureNonRotationalPanoramas)
         remap = {int(g): k for k, g in enumerate(members)}
         keep = [
             p
             for p in range(len(graph.pairs))
-            if sel[p] and int(graph.pairs[p, 0]) in remap and int(graph.pairs[p, 1]) in remap
+            if acc[p] and int(graph.pairs[p, 0]) in remap and int(graph.pairs[p, 1]) in remap
         ]
         loc_pairs = np.array(
             [[remap[int(i)], remap[int(j)]] for i, j in graph.pairs[keep]], int
         )
-        planar = planar_stage.render_planar(
+        # inlier coordinates for the H-BA
+        xy = np.asarray(feats.xy)
+        P = len(keep)
+        M = min(cfg.bundle.max_matches, graph.pair_mask.shape[1])
+        u_i = np.zeros((P, M, 2), np.float32)
+        u_j = np.zeros((P, M, 2), np.float32)
+        w = np.zeros((P, M), np.float32)
+        for k, p in enumerate(keep):
+            ok_m = graph.pair_mask[p] & graph.inliers[p]
+            idxs = np.nonzero(ok_m)[0][:M]
+            gi, gj = int(graph.pairs[p, 0]), int(graph.pairs[p, 1])
+            u_i[k, : len(idxs)] = xy[gi, graph.pair_idx[p, idxs, 0]]
+            u_j[k, : len(idxs)] = xy[gj, graph.pair_idx[p, idxs, 1]]
+            w[k, : len(idxs)] = 1.0
+        hba = bundle_h_stage.run_bundle_adjustment_h(
+            loc_pairs, graph.H[keep], (u_i, u_j, w), n, cfg.bundle
+        )
+        planar = planar_stage.composite_from_abs(
             images,
+            feathers,
             sizes,
-            loc_pairs,
-            graph.H[keep],
-            blend_mode=cfg.blend.mode if cfg.blend.mode != "multiband" else "linear",
+            hba["H_abs"],
+            hba["reachable"],
+            blend_mode=cfg.blend.mode,
+            bands=cfg.blend.bands,
             max_megapixel=cfg.render.max_megapixel,
+            gain_cfg=cfg.gain,
         )
         result.update(planar)
+        result["hba"] = {k: hba[k] for k in ("H_abs", "anchor", "final_cost")}
+        result["H_abs"] = hba["H_abs"]
+        result["reachable"] = hba["reachable"]
+        result["anchor"] = hba["anchor"]
         result["projections"] = {"planar": planar["panorama"]}
+        _apply_crop(result, cfg)
         return result
 
     cams = ba["cameras"]
@@ -262,8 +321,8 @@ def stitch_component(
     for mode in cfg.render.projections:
         canvas = render_stage.compute_canvas(R, K, sizes, mode, cfg.render)
         gains = gain_stage.compute_gains_rotational(
-            jnp.asarray(images),
-            jnp.asarray(feathers),
+            images,
+            feathers,
             jnp.asarray(R.astype(np.float32)),
             jnp.asarray(K.astype(np.float32)),
             mode,
@@ -292,4 +351,25 @@ def stitch_component(
         result["coverage"] = cover
     result["projections"] = projections
     result["panorama"] = next(iter(projections.values()))
+    _apply_crop(result, cfg)
     return result
+
+
+def _apply_crop(result: Dict, cfg: StitchConfig) -> None:
+    """Border/bbox crop + optional inscribed-rectangle crop (reference
+    `cropNonzeroBbox` + `panoramaCropper`)."""
+    cover = result.get("coverage")
+    if cover is None:
+        return
+    cropped = {}
+    for mode, pano in result["projections"].items():
+        if cfg.render.crop_border:
+            pano_c, rect = crop_stage.crop_bbox(pano, cover)
+        else:
+            pano_c, rect = pano, None
+        if cfg.post.crop_panorama:
+            r = rect or (0, pano.shape[0], 0, pano.shape[1])
+            sub_mask = cover[r[0] : r[1], r[2] : r[3]] if rect else cover
+            pano_c, _ = crop_stage.crop_panorama(pano_c, sub_mask)
+        cropped[mode] = pano_c
+    result["projections_cropped"] = cropped

@@ -5,27 +5,34 @@ TPU-native equivalent of the reference's non-rotational path
   output limits over all images -> canvas extent -> inverse-map warp of each
   image + its feather weights -> gain -> linear/multiband blend.
 
-The canvas extent is data-dependent, so bounds are pulled to host once per
-panorama and the jitted warp+blend runs with static canvas shapes.
+Memory/bandwidth design:
+- the canvas is rendered in row bands by ONE jitted band kernel (static band
+  shape) — a python loop over bands, like the reference's streaming tile
+  loop (`renderPanorama.m:342-406`);
+- within a band, 'linear'/'none' blending streams over images with lax.scan
+  (memory independent of N); 'multiband' stacks per-image bands;
+- images/feathers are device-resident arrays passed in by the pipeline (the
+  TPU relay moves ~20 MB/s, so nothing is re-uploaded per stage).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from autopanostitch_tpu.ops import sampling as samp
 from autopanostitch_tpu.ops import blend as blend_ops
+from autopanostitch_tpu.ops import sampling as samp
+
+from autopanostitch_tpu.config import GainConfig
 
 Array = jax.Array
 
 
 def _feather_np(h: int, w: int) -> np.ndarray:
-    """Host-side feather ramp (avoids a device roundtrip per image)."""
+    """Host-side feather ramp (tests / standalone use)."""
     wx = np.maximum(1.0 - np.abs(np.linspace(-1.0, 1.0, w, dtype=np.float32)), 1e-4)
     wy = np.maximum(1.0 - np.abs(np.linspace(-1.0, 1.0, h, dtype=np.float32)), 1e-4)
     return wy[:, None] * wx[None, :]
@@ -40,7 +47,8 @@ def chain_to_anchor(pairs: np.ndarray, Hs: np.ndarray, n: int, anchor: int | Non
       anchor: index whose frame becomes the canvas (default: max-degree node,
               like the reference's seed choice `bundleAdjustmentRKf.m:94-104`).
 
-    Returns (H_abs (n, 3, 3) mapping image k -> anchor frame, reachable (n,)).
+    Returns (H_abs (n, 3, 3) mapping image k -> anchor frame, reachable (n,),
+    anchor).
     """
     deg = np.zeros(n, int)
     adj: list[list[tuple[int, np.ndarray]]] = [[] for _ in range(n)]
@@ -107,96 +115,155 @@ def planar_canvas_bounds(
     return Hc, Wc, float(x0), float(y0), scale
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "blend_mode", "bands"))
-def composite_planar(
+@partial(jax.jit, static_argnames=("band_h", "out_w", "blend_mode", "bands"))
+def composite_band(
     images: Array,  # (N, H, W, 3)
-    feathers: Array,  # (N, H, W) feather weights (0 in padding)
-    H_inv_canvas: Array,  # (N, 3, 3): canvas world coord -> source pixel
-    valid: Array,  # (N,) include image or not
-    gains: Array,  # (N, 3) per-channel gains
-    out_h: int,
+    feathers: Array,  # (N, H, W)
+    H_inv_canvas: Array,  # (N, 3, 3) canvas world coord -> source pixel
+    valid: Array,  # (N,)
+    gains: Array,  # (N, 3)
+    band_h: int,
     out_w: int,
-    x0: float,
-    y0: float,
+    x0,
+    y0,
     blend_mode: str = "linear",
     bands: int = 3,
 ):
-    """Warp all images onto the canvas and blend.
-
-    Returns (panorama (out_h, out_w, 3), coverage (out_h, out_w) bool).
-    """
+    """One canvas row band: warp every image into the band and blend."""
 
     def warp_one(img, feather, Hi, ok, gain):
-        col, _ = samp.warp_homography(img * gain[None, None, :], Hi, out_h, out_w, x0, y0)
-        w, _ = samp.warp_homography(feather[..., None], Hi, out_h, out_w, x0, y0)
+        col, _ = samp.warp_homography(img * gain[None, None, :], Hi, band_h, out_w, x0, y0)
+        w, _ = samp.warp_homography(feather[..., None], Hi, band_h, out_w, x0, y0)
         w = w[..., 0] * ok
         return col * ok, w
 
-    colors, weights = jax.vmap(warp_one)(images, feathers, H_inv_canvas, valid.astype(images.dtype), gains)
+    okf = valid.astype(images.dtype)
     if blend_mode == "multiband":
-        pano = blend_ops.multiband_blend(colors, weights, bands=bands)
+        cols, ws = jax.vmap(warp_one)(images, feathers, H_inv_canvas, okf, gains)
+        band = blend_ops.multiband_blend(cols, ws, bands=bands)
+        wsum = jnp.sum(ws, axis=0)
     elif blend_mode == "linear":
-        pano = blend_ops.linear_blend(colors, weights)
+        def body(carry, inp):
+            acc, wsum = carry
+            img, feather, Hi, ok, gain = inp
+            col, w = warp_one(img, feather, Hi, ok, gain)
+            return (acc + col * w[..., None], wsum + w), None
+
+        (acc, wsum), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((band_h, out_w, 3)), jnp.zeros((band_h, out_w))),
+            (images, feathers, H_inv_canvas, okf, gains),
+        )
+        band = acc / jnp.maximum(wsum, 1e-8)[..., None]
     else:  # 'none' -> last writer wins (reference composeNonePolicy 'last')
-        covered_any = weights > 0
-        pano = jnp.zeros((out_h, out_w, 3), images.dtype)
-        for k in range(images.shape[0]):
-            pano = jnp.where(covered_any[k][..., None], colors[k], pano)
-    coverage = jnp.sum(weights, axis=0) > 0
-    return pano, coverage
+        def body(carry, inp):
+            band, wsum = carry
+            img, feather, Hi, ok, gain = inp
+            col, w = warp_one(img, feather, Hi, ok, gain)
+            band = jnp.where((w > 0)[..., None], col, band)
+            return (band, wsum + w), None
+
+        (band, wsum), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((band_h, out_w, 3)), jnp.zeros((band_h, out_w))),
+            (images, feathers, H_inv_canvas, okf, gains),
+        )
+    # threshold, not >0: bilinear tails at image borders contribute
+    # hairline weights (~1e-5) with near-black colors; counting them as
+    # coverage breaks border cropping and dims edges
+    covered = wsum > 1e-3
+    return band * covered[..., None], covered
+
+
+def composite_from_abs(
+    images,
+    feathers,
+    sizes: np.ndarray,
+    H_abs: np.ndarray,
+    reachable: np.ndarray,
+    gains: np.ndarray | None = None,
+    blend_mode: str = "linear",
+    bands: int = 3,
+    max_megapixel: float = 50.0,
+    band_h: int = 512,
+    gain_cfg: GainConfig | None = None,
+):
+    """Composite given absolute homographies (image k -> canvas frame).
+
+    images/feathers may be device arrays (preferred) or numpy.
+    If gains is None and gain_cfg given, planar-path gain compensation runs
+    first (reference `gainCompensationH.m`).
+    Returns dict(panorama, coverage, offset, scale, gains).
+    """
+    n = len(sizes)
+    Hc, Wc, x0, y0, scale = planar_canvas_bounds(H_abs, sizes, reachable, max_megapixel)
+    S = np.diag([scale, scale, 1.0]).astype(np.float32)
+    H_inv = np.stack([np.linalg.inv(S @ H_abs[k]) for k in range(n)])
+    H_inv /= H_inv[:, 2:3, 2:3]
+    x0s, y0s = x0 * scale, y0 * scale
+    if gains is None and gain_cfg is not None and gain_cfg.enabled:
+        from autopanostitch_tpu.models import gain as gain_stage
+
+        gains = gain_stage.compute_gains_planar(
+            images, feathers, H_inv.astype(np.float32), x0s, y0s, (Hc, Wc), gain_cfg
+        )
+    if gains is None:
+        gains = np.ones((n, 3), np.float32)
+
+    imgs_d = jnp.asarray(images)
+    fea_d = jnp.asarray(feathers)
+    Hi_d = jnp.asarray(H_inv.astype(np.float32))
+    ok_d = jnp.asarray(reachable)
+    g_d = jnp.asarray(gains.astype(np.float32))
+
+    pano = np.zeros((Hc, Wc, 3), np.float32)
+    cover = np.zeros((Hc, Wc), bool)
+    bands_out = []
+    for r0 in range(0, Hc, band_h):
+        band, cov = composite_band(
+            imgs_d, fea_d, Hi_d, ok_d, g_d, band_h, Wc,
+            x0s, y0s + float(r0), blend_mode, bands,
+        )
+        bands_out.append((r0, band, cov))
+    for r0, band, cov in bands_out:
+        h = min(band_h, Hc - r0)
+        pano[r0 : r0 + h] = np.asarray(band)[:h]
+        cover[r0 : r0 + h] = np.asarray(cov)[:h]
+    return {
+        "panorama": pano,
+        "coverage": cover,
+        "offset": (x0s, y0s),
+        "scale": scale,
+        "gains": gains,
+    }
 
 
 def render_planar(
-    images: np.ndarray,
+    images,
     sizes: np.ndarray,
     pairs: np.ndarray,
     Hs: np.ndarray,
+    feathers=None,
     gains: np.ndarray | None = None,
     blend_mode: str = "linear",
     bands: int = 3,
     max_megapixel: float = 50.0,
     anchor: int | None = None,
 ):
-    """Full planar panorama from verified pairwise homographies.
+    """Full planar panorama from verified pairwise homographies (chained,
+    no joint refinement — see bundle_h.run_bundle_adjustment_h for the
+    refined path the pipeline uses).
 
-    Returns dict(panorama, coverage, H_abs, reachable, offset).
+    Returns dict(panorama, coverage, H_abs, reachable, anchor, offset).
     """
-    n = images.shape[0]
+    n = np.asarray(images).shape[0]
     H_abs, reachable, anchor = chain_to_anchor(pairs, Hs, n, anchor)
-    Hc, Wc, x0, y0, scale = planar_canvas_bounds(H_abs, sizes, reachable, max_megapixel)
-    # scale canvas coords: canvas pixel -> world = (x/scale... ) fold scale into H
-    S = np.diag([scale, scale, 1.0]).astype(np.float32)
-    H_inv = np.stack([np.linalg.inv(S @ H_abs[k]) for k in range(n)])
-    H_inv /= H_inv[:, 2:3, 2:3]
-    # canvas origin in scaled coords
-    x0s, y0s = x0 * scale, y0 * scale
-
-    feathers = np.zeros(images.shape[:3], np.float32)
-    for k in range(n):
-        h, w = int(sizes[k][0]), int(sizes[k][1])
-        feathers[k, :h, :w] = _feather_np(h, w)
-    if gains is None:
-        gains = np.ones((n, 3), np.float32)
-
-    pano, cover = composite_planar(
-        jnp.asarray(images),
-        jnp.asarray(feathers),
-        jnp.asarray(H_inv),
-        jnp.asarray(reachable),
-        jnp.asarray(gains),
-        Hc,
-        Wc,
-        x0s,
-        y0s,
-        blend_mode,
-        bands,
+    if feathers is None:
+        feathers = samp.feather_stack(
+            jnp.asarray(sizes, np.int32), images.shape[1], images.shape[2]
+        )
+    out = composite_from_abs(
+        images, feathers, sizes, H_abs, reachable, gains, blend_mode, bands, max_megapixel
     )
-    return {
-        "panorama": np.asarray(pano),
-        "coverage": np.asarray(cover),
-        "H_abs": H_abs,
-        "reachable": reachable,
-        "anchor": anchor,
-        "offset": (x0s, y0s),
-        "scale": scale,
-    }
+    out.update({"H_abs": H_abs, "reachable": reachable, "anchor": anchor})
+    return out

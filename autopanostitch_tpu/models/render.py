@@ -235,7 +235,9 @@ def render_tile(
             (jnp.zeros((tile_h, tile_w, 3)), jnp.zeros((tile_h, tile_w))),
             (images, feathers, R, K, gains),
         )
-    covered = wsum > 0
+    # threshold, not >0 (see planar.composite_band): hairline bilinear
+    # tails at image borders otherwise count as coverage
+    covered = wsum > 1e-3
     return tile * covered[..., None], covered
 
 

@@ -118,6 +118,52 @@ def match_pair(
     return idx, m, jnp.sum(ok.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("max_matches", "ratio", "chunk"))
+def match_all_pairs(
+    desc: Array,  # (N, K, D)
+    mask: Array,  # (N, K)
+    ratio: float = 0.6,
+    max_matches: int = 512,
+    chunk: int = 16,
+):
+    """Pairwise matching over every (i < j) image pair in one program.
+
+    The TPU replacement for the reference's parfor over upper-triangular
+    pairs (`featureMatching/featureMatchingPairwise.m:47-59`): pair index
+    arrays are gathered per chunk and matched with the vmapped 2-NN kernel
+    under lax.scan (bounds memory to chunk x K x K).
+
+    Returns (pairs (P,2) int32, idx (P, max_matches, 2), m (P, max_matches),
+    counts (P,)) with P = N(N-1)/2 in lexicographic order.
+    """
+    N = desc.shape[0]
+    iu, ju = jnp.triu_indices(N, 1)
+    P = iu.shape[0]
+    nchunks = (P + chunk - 1) // chunk
+    Ppad = nchunks * chunk
+    iu = jnp.pad(iu, (0, Ppad - P))
+    ju = jnp.pad(ju, (0, Ppad - P))
+
+    def one(i, j):
+        return match_pair(
+            desc[i], mask[i], desc[j], mask[j], ratio=ratio, max_matches=max_matches
+        )
+
+    def step(_, ij):
+        i, j = ij
+        idx, m, n = jax.vmap(one)(i, j)
+        return None, (idx, m, n)
+
+    _, (idx, m, n) = jax.lax.scan(
+        step, None, (iu.reshape(nchunks, chunk), ju.reshape(nchunks, chunk))
+    )
+    idx = idx.reshape(Ppad, max_matches, 2)[:P]
+    m = m.reshape(Ppad, max_matches)[:P]
+    n = n.reshape(Ppad)[:P]
+    pairs = jnp.stack([iu[:P], ju[:P]], -1).astype(jnp.int32)
+    return pairs, idx, m, n
+
+
 @partial(jax.jit, static_argnames=("k", "block"))
 def global_knn(desc: Array, mask: Array, image_id: Array, k: int = 4, block: int = 1024):
     """Pooled self-kNN over ALL images' descriptors (AutoStitch global match).

@@ -140,6 +140,22 @@ def feather_weights(h: int, w: int, dtype=jnp.float32) -> Array:
     return wy[:, None] * wx[None, :]
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def feather_stack(sizes: Array, H: int, W: int) -> Array:
+    """(N, 2) valid sizes -> (N, H, W) feather ramps, zero outside each
+    image's valid region. Device-side replacement for per-image host feather
+    uploads (host->device bandwidth through the TPU relay is ~20 MB/s)."""
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    h = sizes[:, 0].astype(jnp.float32)[:, None, None]
+    w = sizes[:, 1].astype(jnp.float32)[:, None, None]
+    wy = 1.0 - jnp.abs(2.0 * ys / jnp.maximum(h - 1.0, 1.0) - 1.0)
+    wx = 1.0 - jnp.abs(2.0 * xs / jnp.maximum(w - 1.0, 1.0) - 1.0)
+    ramp = jnp.maximum(wy, 1e-4) * jnp.maximum(wx, 1e-4)
+    inside = (ys <= h - 1.0) & (xs <= w - 1.0)
+    return jnp.where(inside, ramp, 0.0)
+
+
 def output_limits(H: Array, h, w, n_samples: int = 64):
     """Transformed bounding box of an (h, w) image under homography H.
 

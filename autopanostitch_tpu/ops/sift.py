@@ -254,7 +254,28 @@ def _bilinear_gather(img: Array, x: Array, y: Array) -> Array:
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-def _orientation_hist(dx_l: Array, dy_l: Array, x: Array, y: Array, sigma_rel: Array):
+def _bilinear_gather_level(stack: Array, lev: Array, x: Array, y: Array) -> Array:
+    """Bilinear sample of stack[lev] at float coords, as ONE 3-D gather.
+
+    Slicing `stack[lev]` per keypoint under vmap makes XLA materialize a
+    full (H, W) map per keypoint (gigabytes); indexing the level inside the
+    gather keeps it a per-sample fetch."""
+    S, H, W = stack.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    l = jnp.broadcast_to(lev, x0.shape)
+    v00 = stack[l, y0, x0]
+    v01 = stack[l, y0, x0 + 1]
+    v10 = stack[l, y0 + 1, x0]
+    v11 = stack[l, y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def _orientation_hist(dx: Array, dy: Array, lev: Array, x: Array, y: Array, sigma_rel: Array):
     """36-bin Gaussian-weighted orientation histogram around one keypoint.
 
     Samples a fixed 16x16 grid spanning +-3*(1.5*sigma) — the fixed-shape
@@ -267,8 +288,8 @@ def _orientation_hist(dx_l: Array, dy_l: Array, x: Array, y: Array, sigma_rel: A
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
     sx = x + gx * win
     sy = y + gy * win
-    gdx = _bilinear_gather(dx_l, sx, sy)
-    gdy = _bilinear_gather(dy_l, sx, sy)
+    gdx = _bilinear_gather_level(dx, lev, sx, sy)
+    gdy = _bilinear_gather_level(dy, lev, sx, sy)
     mag = jnp.sqrt(gdx * gdx + gdy * gdy)
     ang = jnp.arctan2(gdy, gdx)  # [-pi, pi]
     sigma_w = _ORI_SIGMA_FACTOR * sigma_rel
@@ -315,7 +336,7 @@ def _dominant_orientations(hist: Array):
     return theta, ok
 
 
-def _descriptor(dx_l: Array, dy_l: Array, x: Array, y: Array, sigma_rel: Array, theta: Array):
+def _descriptor(dx: Array, dy: Array, lev: Array, x: Array, y: Array, sigma_rel: Array, theta: Array):
     """128-d SIFT descriptor via trilinear soft-binning einsum.
 
     Fixed 16x16 sample grid over the rotated 4x4-cell window (cell width
@@ -337,8 +358,8 @@ def _descriptor(dx_l: Array, dy_l: Array, x: Array, y: Array, sigma_rel: Array, 
     oy = (cx * sin_t + cy * cos_t) * cell
     sx = x + ox
     sy = y + oy
-    gdx = _bilinear_gather(dx_l, sx, sy)
-    gdy = _bilinear_gather(dy_l, sx, sy)
+    gdx = _bilinear_gather_level(dx, lev, sx, sy)
+    gdy = _bilinear_gather_level(dy, lev, sx, sy)
     mag = jnp.sqrt(gdx * gdx + gdy * gdy)
     ang = jnp.arctan2(gdy, gdx) - theta
 
@@ -419,11 +440,9 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
         level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[0] - 1)
 
         def per_kp(xi, yi, lev, srel):
-            dxl = dx[lev]
-            dyl = dy[lev]
-            hist = _orientation_hist(dxl, dyl, xi, yi, srel)
+            hist = _orientation_hist(dx, dy, lev, xi, yi, srel)
             thetas, th_ok = _dominant_orientations(hist)
-            descs = jax.vmap(lambda t: _descriptor(dxl, dyl, xi, yi, srel, t))(thetas)
+            descs = jax.vmap(lambda t: _descriptor(dx, dy, lev, xi, yi, srel, t))(thetas)
             return thetas, th_ok, descs
 
         thetas, th_ok, descs = jax.vmap(per_kp)(x_sub, y_sub, level, sigma_rel)

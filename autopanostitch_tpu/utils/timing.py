@@ -1,0 +1,83 @@
+"""Per-stage wall-clock timing & logging.
+
+Equivalent of the reference's tic/toc stage report (`main.m:88-137`) and
+`diary` logging (`main.m:63-77`). For device work, timings are only
+meaningful after synchronization — stages that return device arrays should
+pass them to `sync` before the timer stops.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+from typing import Dict, List, Optional, TextIO
+
+
+def sync(tree):
+    """Block until all device arrays in a pytree are ready."""
+    import jax
+
+    jax.block_until_ready(tree)
+    return tree
+
+
+class StageTimer:
+    """Collects named stage durations and prints a report.
+
+    >>> timer = StageTimer()
+    >>> with timer.stage("features"):
+    ...     ...
+    >>> timer.report()
+    """
+
+    def __init__(self, out: Optional[TextIO] = None, verbose: bool = True):
+        self.durations: List[tuple] = []
+        self.out = out or sys.stdout
+        self.verbose = verbose
+        self._t_start = time.perf_counter()
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self.durations.append((name, dt))
+        if self.verbose:
+            print(f"{name} execution time: {dt:.3f} seconds", file=self.out)
+
+    def total(self) -> float:
+        return time.perf_counter() - self._t_start
+
+    def report(self) -> Dict[str, float]:
+        d = dict(self.durations)
+        if self.verbose:
+            print(f"Total execution time: {self.total():.3f} seconds", file=self.out)
+        return d
+
+
+class Tee:
+    """Duplicate stdout to a log file (the reference's `diary log.txt`)."""
+
+    def __init__(self, path: str):
+        self.file = open(path, "a")
+        self.stdout = sys.stdout
+
+    def write(self, data):
+        self.file.write(data)
+        self.stdout.write(data)
+
+    def flush(self):
+        self.file.flush()
+        self.stdout.flush()
+
+    def close(self):
+        sys.stdout = self.stdout
+        self.file.close()
+
+    def __enter__(self):
+        sys.stdout = self
+        return self
+
+    def __exit__(self, *a):
+        self.close()

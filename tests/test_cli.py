@@ -1,0 +1,62 @@
+import os
+
+import numpy as np
+import pytest
+
+import synthdata
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    from PIL import Image
+
+    env = synthdata.texture(0, 420, 800)
+    boxes = [(0, 0, 420, 380), (280, 20, 420, 380)]
+    d = tmp_path / "setA"
+    d.mkdir()
+    for k, (x, y, w, h) in enumerate(boxes):
+        crop = (env[y : y + h, x : x + w] * 255).astype(np.uint8)
+        Image.fromarray(crop).save(d / f"img_{k}.png")
+    return tmp_path
+
+
+def test_cli_end_to_end(dataset_dir, tmp_path):
+    from autopanostitch_tpu import cli
+
+    out = tmp_path / "results"
+    rc = cli.main(
+        [
+            str(dataset_dir),
+            "--out",
+            str(out),
+            "--projections",
+            "planar",
+            "--blend",
+            "linear",
+            "--force-planar",
+            "--size-limit",
+            "512",
+            "--log",
+            str(tmp_path / "log.txt"),
+        ]
+    )
+    assert rc == 0
+    files = os.listdir(out)
+    assert any(f.startswith("planar_setA") and f.endswith(".png") for f in files)
+    # log captured stage timings (diary equivalent)
+    log = (tmp_path / "log.txt").read_text()
+    assert "execution time" in log
+
+    from PIL import Image
+
+    pano = np.asarray(Image.open(out / files[0]))
+    assert pano.shape[1] > 600  # wider than a single 420px crop after resize
+
+
+def test_find_datasets_direct_and_nested(dataset_dir):
+    from autopanostitch_tpu import cli
+
+    nested = cli.find_datasets(str(dataset_dir))
+    assert list(nested) == ["setA"]
+    direct = cli.find_datasets(str(dataset_dir / "setA"))
+    assert len(next(iter(direct.values()))) == 2

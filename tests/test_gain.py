@@ -1,0 +1,72 @@
+import numpy as np
+import jax.numpy as jnp
+
+from autopanostitch_tpu.config import GainConfig
+from autopanostitch_tpu.models import gain
+
+
+class TestSolveGains:
+    def test_equalizes_two_images(self):
+        N = 2
+        Nij = np.array([[0.0, 500.0], [500.0, 0.0]])
+        sumC = np.zeros((N, N, 3))
+        # image 0 sees mean 100, image 1 sees mean 150 over the overlap
+        sumC[0, 1] = 100.0 * 500
+        sumC[1, 0] = 150.0 * 500
+        g = gain.solve_gains(Nij, sumC, GainConfig())
+        assert g[0, 0] > 1.02 and g[1, 0] < 0.98
+        # gains should bring the products closer together
+        assert abs(g[0, 0] * 100 - g[1, 0] * 150) < abs(100 - 150)
+
+    def test_below_min_overlap_returns_ones(self):
+        Nij = np.full((3, 3), 10.0)
+        sumC = np.ones((3, 3, 3))
+        g = gain.solve_gains(Nij, sumC, GainConfig(), min_overlap=50)
+        np.testing.assert_allclose(g, 1.0)
+
+    def test_clamped(self):
+        Nij = np.array([[0.0, 1000.0], [1000.0, 0.0]])
+        sumC = np.zeros((2, 2, 3))
+        sumC[0, 1] = 10.0 * 1000  # extreme ratio
+        sumC[1, 0] = 250.0 * 1000
+        g = gain.solve_gains(Nij, sumC, GainConfig(sigma_g=10.0))  # weak prior
+        assert (g >= 0.25).all() and (g <= 4.0).all()
+
+
+class TestPlanarOverlap:
+    def test_statistics_and_gains(self):
+        imgs = np.zeros((2, 64, 96, 3), np.float32)
+        imgs[0] += 0.4
+        imgs[1] += 0.6
+        fea = np.ones((2, 64, 96), np.float32)
+        H_inv = np.stack([np.eye(3, dtype=np.float32)] * 2)
+        H_inv[1][0, 2] = 40.0
+        Nij, sumC = gain.overlap_statistics_planar(
+            jnp.asarray(imgs), jnp.asarray(fea), jnp.asarray(H_inv),
+            0.0, 0.0, jnp.float32(2.0), 32, 70,
+        )
+        Nij = np.asarray(Nij)
+        sumC = np.asarray(sumC)
+        assert Nij[0, 1] > 100  # overlap region sampled
+        # mean colors over overlap on the 255 scale
+        np.testing.assert_allclose(sumC[0, 1] / Nij[0, 1], 0.4 * 255, rtol=0.02)
+        np.testing.assert_allclose(sumC[1, 0] / Nij[0, 1], 0.6 * 255, rtol=0.02)
+        g = gain.compute_gains_planar(imgs, fea, H_inv, 0.0, 0.0, (64, 140), GainConfig())
+        assert g[0, 0] > 1.05 and g[1, 0] < 0.95
+
+
+class TestRotationalOverlap:
+    def test_two_identical_cameras_full_overlap(self):
+        from autopanostitch_tpu.ops import geometry as geo
+
+        imgs = np.full((2, 64, 96, 3), 0.5, np.float32)
+        fea = np.ones((2, 64, 96), np.float32)
+        R = np.stack([np.eye(3, dtype=np.float32)] * 2)
+        K = np.asarray(geo.build_K(jnp.asarray([80.0, 80.0]), jnp.asarray([47.5, 47.5]), jnp.asarray([31.5, 31.5])))
+        Nij, sumC = gain.overlap_statistics(
+            jnp.asarray(imgs), jnp.asarray(fea), jnp.asarray(R), jnp.asarray(K),
+            "spherical", 80.0, -0.5, -0.35, jnp.eye(3), jnp.float32(2.0), 32, 48,
+        )
+        Nij = np.asarray(Nij)
+        assert Nij[0, 1] > 200
+        np.testing.assert_allclose(np.asarray(sumC)[0, 1] / Nij[0, 1], 127.5, rtol=0.02)

@@ -119,3 +119,30 @@ class TestGlobalMatching:
         i2, d2 = mt.global_knn(jnp.array(desc), mask, jnp.array(ids), k=2, block=96)
         np.testing.assert_array_equal(np.array(i1), np.array(i2))
         np.testing.assert_allclose(np.array(d1), np.array(d2), atol=1e-5)
+
+
+class TestMatchAllPairs:
+    def test_pairwise_mode_matches_pair_kernel(self):
+        r = np.random.default_rng(7)
+        N, K, D = 4, 48, 32
+        base = make_descriptors(r, K, D)
+        descs = np.stack([
+            (base + 0.01 * r.normal(size=base.shape)).astype(np.float32)
+            for _ in range(N)
+        ])
+        descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+        mask = np.ones((N, K), bool)
+        pairs, idx, m, n = mt.match_all_pairs(
+            jnp.asarray(descs), jnp.asarray(mask), ratio=0.85, max_matches=K, chunk=4
+        )
+        pairs, n = np.asarray(pairs), np.asarray(n)
+        assert pairs.shape == (6, 2)
+        # each pair individually via match_pair must agree on counts
+        for p, (i, j) in enumerate(pairs):
+            _, _, n_ref = mt.match_pair(
+                jnp.asarray(descs[i]), jnp.asarray(mask[i]),
+                jnp.asarray(descs[j]), jnp.asarray(mask[j]),
+                ratio=0.85, max_matches=K,
+            )
+            assert int(n_ref) == n[p]
+        assert (n > K // 2).all()
