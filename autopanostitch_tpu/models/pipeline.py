@@ -50,6 +50,11 @@ class MatchGraph:
     counts: np.ndarray  # (N, N) putative counts
 
 
+@jax.jit
+def _to_float(raw):
+    return raw.astype(jnp.float32) / 255.0
+
+
 def match_features(feats: SiftFeatures, cfg: StitchConfig):
     """Feature matching stage producing per-pair putative match lists.
 
@@ -189,7 +194,11 @@ def stitch(
     point as stages land.
     """
     key = jax.random.PRNGKey(seed)
-    images = jnp.asarray(image_set.images)  # single upload; stages reuse it
+    raw = jnp.asarray(image_set.images)  # single upload; stages reuse it
+    if raw.dtype == jnp.uint8:  # 4x cheaper upload, converted on device
+        images = _to_float(raw)
+    else:
+        images = raw
     feathers = samp_ops.feather_stack(
         jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
     )
@@ -248,6 +257,8 @@ def stitch_component(
     mem_d = jnp.asarray(members)
     if images_dev is None:
         images_dev = jnp.asarray(image_set.images)
+        if images_dev.dtype == jnp.uint8:
+            images_dev = _to_float(images_dev)
     if feathers_dev is None:
         feathers_dev = samp_ops.feather_stack(
             jnp.asarray(image_set.sizes, np.int32),
@@ -344,6 +355,7 @@ def stitch_component(
             bands=cfg.blend.bands,
             tile=cfg.render.tile,
             angle_power=cfg.render.angle_power,
+            sizes=sizes,
         )
         projections[mode] = pano
         result.setdefault("canvas", {})[mode] = canvas

@@ -172,7 +172,9 @@ def composite_band(
     # hairline weights (~1e-5) with near-black colors; counting them as
     # coverage breaks border cropping and dims edges
     covered = wsum > 1e-3
-    return band * covered[..., None], covered
+    band = band * covered[..., None]
+    band_u8 = (jnp.clip(band, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return band_u8, covered
 
 
 def composite_from_abs(
@@ -216,7 +218,7 @@ def composite_from_abs(
     ok_d = jnp.asarray(reachable)
     g_d = jnp.asarray(gains.astype(np.float32))
 
-    pano = np.zeros((Hc, Wc, 3), np.float32)
+    pano = np.zeros((Hc, Wc, 3), np.uint8)
     cover = np.zeros((Hc, Wc), bool)
     bands_out = []
     for r0 in range(0, Hc, band_h):

@@ -173,11 +173,13 @@ def compute_canvas(
 
 @partial(jax.jit, static_argnames=("mode", "tile_h", "tile_w", "blend_mode", "bands"))
 def render_tile(
-    images: Array,  # (N, H, W, 3)
+    images: Array,  # (N, H, W, 3) FULL stack (gathered inside by sel)
     feathers: Array,  # (N, H, W)
     R: Array,  # (N, 3, 3)
     K: Array,  # (N, 3, 3)
     gains: Array,  # (N, 3)
+    sel: Array,  # (C,) int32 image indices contributing to this tile
+    sel_ok: Array,  # (C,) bool
     origin: Array,  # (2,) [x, y] tile origin in canvas pixels
     f_pan,
     x0,
@@ -190,42 +192,57 @@ def render_tile(
     bands: int = 3,
     angle_power: float = 1.0,
 ):
-    """Render one canvas tile (reference `fuseTile`/`sampleOneTile`)."""
+    """Render one canvas tile (reference `fuseTile`/`sampleOneTile`).
+
+    Per-tile image culling: only the C images whose projected bounds
+    intersect the tile are sampled (host-selected) — render cost is
+    O(tile x C) instead of O(tile x N), the tiled analogue of the
+    reference's per-tile contributor logic.
+    """
     ty, tx = jnp.mgrid[0:tile_h, 0:tile_w]
     xp = tx.astype(jnp.float32) + origin[0]
     yp = ty.astype(jnp.float32) + origin[1]
     d = proj.pano_to_ray(mode, xp, yp, f_pan, x0, y0, R_ref)  # (th, tw, 3)
 
-    def sample_one(img, feather, R_k, K_k, gain):
+    # gather the contributing subset (device gather from the resident stack)
+    images = images[sel]
+    feathers = feathers[sel]
+    R = R[sel]
+    K = K[sel]
+    gains = gains[sel] * sel_ok[:, None]
+
+    def sample_one(img, feather, R_k, K_k, gain, ok):
         u, v, front, cosang = proj.project_ray_to_camera(d, R_k, K_k)
-        col, ok = samp.sample_bilinear(img, u, v)
+        col, valid = samp.sample_bilinear(img, u, v)
         wf, _ = samp.sample_bilinear(feather[..., None], u, v)
         w_ang = jnp.where(front, cosang, 0.0) ** angle_power
-        w = w_ang * jnp.maximum(wf[..., 0], 1e-4) * ok * front
+        w = w_ang * jnp.maximum(wf[..., 0], 1e-4) * valid * front * ok
         return col * gain[None, None, :], w
 
     if blend_mode == "multiband":
-        cols, ws = jax.vmap(sample_one)(images, feathers, R, K, gains)
+        cols, ws = jax.vmap(sample_one)(
+            images, feathers, R, K, gains, sel_ok.astype(images.dtype)
+        )
         tile = blend_ops.multiband_blend(cols, ws, bands=bands)
         wsum = jnp.sum(ws, axis=0)
     elif blend_mode == "linear":
         def body(carry, inp):
             acc, wsum = carry
-            img, feather, R_k, K_k, gain = inp
-            col, w = sample_one(img, feather, R_k, K_k, gain)
+            img, feather, R_k, K_k, gain, ok = inp
+            col, w = sample_one(img, feather, R_k, K_k, gain, ok)
             return (acc + col * w[..., None], wsum + w), None
 
         (acc, wsum), _ = jax.lax.scan(
             body,
             (jnp.zeros((tile_h, tile_w, 3)), jnp.zeros((tile_h, tile_w))),
-            (images, feathers, R, K, gains),
+            (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
         )
         tile = acc / jnp.maximum(wsum, 1e-8)[..., None]
     else:  # 'none': last valid source wins (composeNonePolicy 'last')
         def body(carry, inp):
             tile, wsum = carry
-            img, feather, R_k, K_k, gain = inp
-            col, w = sample_one(img, feather, R_k, K_k, gain)
+            img, feather, R_k, K_k, gain, ok = inp
+            col, w = sample_one(img, feather, R_k, K_k, gain, ok)
             valid = w > 0
             tile = jnp.where(valid[..., None], col, tile)
             return (tile, wsum + w), None
@@ -233,12 +250,72 @@ def render_tile(
         (tile, wsum), _ = jax.lax.scan(
             body,
             (jnp.zeros((tile_h, tile_w, 3)), jnp.zeros((tile_h, tile_w))),
-            (images, feathers, R, K, gains),
+            (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
         )
     # threshold, not >0 (see planar.composite_band): hairline bilinear
     # tails at image borders otherwise count as coverage
     covered = wsum > 1e-3
-    return tile * covered[..., None], covered
+    tile = tile * covered[..., None]
+    # uint8 output: the device->host link is the bottleneck (a float32
+    # canvas is 12 B/px; uint8 is 3)
+    tile_u8 = (jnp.clip(tile, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return tile_u8, covered
+
+
+def tile_contributors(
+    canvas: dict,
+    R: np.ndarray,
+    K: np.ndarray,
+    sizes: np.ndarray,
+    tile: tuple,
+    max_contributors: int = 8,
+):
+    """Host control plane: for every tile, pick the <= C images whose
+    projected bounds intersect it (with wrap-around handling for the
+    angular projections). Returns (sel (T, C) int32, sel_ok (T, C) bool,
+    tile_origins (T, 2) int)."""
+    mode = canvas["mode"]
+    Hc, Wc = canvas["Hc"], canvas["Wc"]
+    th, tw = tile
+    f_pan, x0, y0 = canvas["f_pan"], canvas["x0"], canvas["y0"]
+    b = np.asarray(
+        _bounds_per_camera(
+            jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(sizes, np.int32),
+            mode,
+            jnp.asarray(canvas["R_ref"]),
+            8.0,
+        )
+    )  # (N, 4) surface coords
+    # to canvas pixels
+    px = (b[:, :2] - x0) * f_pan  # (N, 2) [umin, umax]
+    py = (b[:, 2:] - y0) * f_pan
+    n = len(sizes)
+    wrap = 2 * np.pi * f_pan if mode in ("cylindrical", "spherical", "equirectangular") else None
+
+    origins, sels, oks = [], [], []
+    for r0 in range(0, Hc, th):
+        for c0 in range(0, Wc, tw):
+            areas = np.zeros(n)
+            for k in range(n):
+                shifts = (0.0,) if wrap is None else (0.0, wrap, -wrap)
+                best = 0.0
+                for s in shifts:
+                    ox = max(0.0, min(px[k, 1] + s, c0 + tw) - max(px[k, 0] + s, c0))
+                    oy = max(0.0, min(py[k, 1], r0 + th) - max(py[k, 0], r0))
+                    best = max(best, ox * oy)
+                areas[k] = best
+            order = np.argsort(-areas)[:max_contributors]
+            ok = areas[order] > 0
+            origins.append((c0, r0))
+            sels.append(order)
+            oks.append(ok)
+    return (
+        np.stack(sels).astype(np.int32),
+        np.stack(oks),
+        np.array(origins, np.float32),
+    )
 
 
 def render_rotational(
@@ -252,16 +329,24 @@ def render_rotational(
     bands: int = 3,
     tile: tuple = (512, 512),
     angle_power: float = 1.0,
+    sizes: np.ndarray | None = None,
+    max_contributors: int = 8,
 ):
-    """Full rotational panorama: python tile loop over ONE jitted kernel.
+    """Full rotational panorama: python tile loop over ONE jitted kernel,
+    with per-tile contributor culling (cost O(canvas x C), C <= 8, instead
+    of O(canvas x N)).
 
-    Returns (panorama (Hc, Wc, 3) float32, coverage (Hc, Wc) bool).
+    Returns (panorama (Hc, Wc, 3) uint8, coverage (Hc, Wc) bool).
     """
     Hc, Wc = canvas["Hc"], canvas["Wc"]
     th, tw = tile
     n = images.shape[0]
     if gains is None:
         gains = np.ones((n, 3), np.float32)
+    if sizes is None:
+        sizes = np.tile(np.array(images.shape[1:3], np.int32), (n, 1))
+    C = min(max_contributors, n)
+    sel, sel_ok, origins = tile_contributors(canvas, R, K, sizes, (th, tw), C)
 
     imgs_d = jnp.asarray(images)
     fea_d = jnp.asarray(feathers)
@@ -270,18 +355,21 @@ def render_rotational(
     g_d = jnp.asarray(gains.astype(np.float32))
     R_ref = jnp.asarray(canvas["R_ref"])
 
-    pano = np.zeros((Hc, Wc, 3), np.float32)
+    pano = np.zeros((Hc, Wc, 3), np.uint8)
     cover = np.zeros((Hc, Wc), bool)
     tiles = []
+    t_i = 0
     for r0 in range(0, Hc, th):
         for c0 in range(0, Wc, tw):
             t, cov = render_tile(
                 imgs_d, fea_d, R_d, K_d, g_d,
+                jnp.asarray(sel[t_i]), jnp.asarray(sel_ok[t_i]),
                 jnp.asarray([c0, r0], jnp.float32),
                 canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
                 canvas["mode"], th, tw, blend_mode, bands, angle_power,
             )
             tiles.append((r0, c0, t, cov))
+            t_i += 1
     # pull all tiles (device queue pipelines the dispatches above)
     for r0, c0, t, cov in tiles:
         t_np = np.asarray(t)

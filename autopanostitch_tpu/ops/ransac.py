@@ -159,8 +159,39 @@ def ransac_fit(
 
 @partial(
     jax.jit,
-    static_argnames=("model", "method", "batch", "chunk"),
+    static_argnames=("model", "method", "batch"),
 )
+def _verify_chunk(
+    pair_src: Array,
+    pair_dst: Array,
+    pair_mask: Array,
+    keys: Array,
+    threshold,
+    accept_alpha,
+    accept_beta,
+    model: str = "projective",
+    method: str = "ransac",
+    batch: int = 512,
+):
+    """One fixed-size chunk of pair verifications (vmapped ransac_fit)."""
+    one = partial(
+        ransac_fit, threshold=threshold, model=model, method=method, batch=batch
+    )
+    res = jax.vmap(one)(pair_src, pair_dst, pair_mask, keys)
+    accepted = res.success & (
+        res.num_inliers > accept_alpha + accept_beta * res.num_putative
+    )
+    H_inv = jax.vmap(geo.homography_inverse)(res.H)
+    return {
+        "H": res.H,
+        "H_inv": H_inv,
+        "inliers": res.inliers,
+        "num_inliers": res.num_inliers,
+        "num_putative": res.num_putative,
+        "accepted": accepted,
+    }
+
+
 def verify_pairs(
     pair_src: Array,
     pair_dst: Array,
@@ -179,16 +210,21 @@ def verify_pairs(
     The probabilistic acceptance `ni > alpha + beta * nf`
     (reference `imageMatching.m:150`, constants `:38-42`).
 
+    Implementation note: the pair set is processed in fixed-size chunks by
+    ONE jitted executable dispatched from a python loop (a lax.scan over
+    chunks triggers an XLA:TPU memory-assignment CHECK crash at larger pair
+    counts); per-chunk outputs stay on device and concatenate once.
+
     Args:
       pair_src, pair_dst: (P, M, 2); pair_mask: (P, M); keys: (P, 2) uint32.
-      chunk: pairs processed per scan step (bounds the (chunk, B, M) error
-             tensor's memory).
+      chunk: pairs per dispatch (bounds the (chunk, B, M) error tensor).
 
-    Returns dict of stacked results per pair:
+    Returns dict of stacked device arrays per pair:
       H (P,3,3), H_inv (P,3,3), inliers (P,M), num_inliers (P,),
-      accepted (P,) bool.
+      num_putative (P,), accepted (P,) bool.
     """
     P, M = pair_mask.shape
+    chunk = max(1, min(chunk, P))
     nchunks = (P + chunk - 1) // chunk
     Ppad = nchunks * chunk
 
@@ -197,35 +233,16 @@ def verify_pairs(
 
     ps, pd, pm, ks = pad(pair_src), pad(pair_dst), pad(pair_mask), pad(keys)
 
-    one = partial(
-        ransac_fit, threshold=threshold, model=model, method=method, batch=batch
-    )
-
-    def step(carry, xs):
-        s, d, m, k = xs
-        res = jax.vmap(one)(s, d, m, k)
-        return carry, res
-
-    xs = (
-        ps.reshape(nchunks, chunk, M, 2),
-        pd.reshape(nchunks, chunk, M, 2),
-        pm.reshape(nchunks, chunk, M),
-        ks.reshape(nchunks, chunk, -1),
-    )
-    _, res = jax.lax.scan(step, None, xs)
-    H = res.H.reshape(Ppad, 3, 3)[:P]
-    inliers = res.inliers.reshape(Ppad, M)[:P]
-    n_inl = res.num_inliers.reshape(Ppad)[:P]
-    n_put = res.num_putative.reshape(Ppad)[:P]
-    success = res.success.reshape(Ppad)[:P]
-
-    accepted = success & (n_inl > accept_alpha + accept_beta * n_put)
-    H_inv = jax.vmap(geo.homography_inverse)(H)
+    outs = []
+    for c in range(nchunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        outs.append(
+            _verify_chunk(
+                ps[sl], pd[sl], pm[sl], ks[sl],
+                jnp.float32(threshold), jnp.float32(accept_alpha),
+                jnp.float32(accept_beta), model=model, method=method, batch=batch,
+            )
+        )
     return {
-        "H": H,
-        "H_inv": H_inv,
-        "inliers": inliers,
-        "num_inliers": n_inl,
-        "num_putative": n_put,
-        "accepted": accepted,
+        key: jnp.concatenate([o[key] for o in outs], axis=0)[:P] for key in outs[0]
     }

@@ -192,10 +192,24 @@ def _refine_one(dog: Array, si: Array, yi: Array, xi: Array):
     hsy = (d[2, 2, 1] - d[2, 0, 1] - d[0, 2, 1] + d[0, 0, 1]) * 0.25
     hsx = (d[2, 1, 2] - d[2, 1, 0] - d[0, 1, 2] + d[0, 1, 0]) * 0.25
     hyx = (d[1, 2, 2] - d[1, 2, 0] - d[1, 0, 2] + d[1, 0, 0]) * 0.25
-    Hm = jnp.array([[hss, hsy, hsx], [hsy, hyy, hyx], [hsx, hyx, hxx]])
-    # solve H off = -g with regularization for safety
-    Hm_reg = Hm + 1e-8 * jnp.eye(3)
-    off = -jnp.linalg.solve(Hm_reg, g)
+    # solve H off = -g in closed form (Cramer) — vmapped jnp.linalg.solve
+    # of 45k tiny systems serializes on TPU
+    a, b_, c_ = hss + 1e-8, hsy, hsx
+    d_, e_, f_ = hsy, hyy + 1e-8, hyx
+    g_, h_, i_ = hsx, hyx, hxx + 1e-8
+    det = a * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e_ * g_)
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    b0, b1, b2 = -g[0], -g[1], -g[2]
+    off = (
+        jnp.stack(
+            [
+                b0 * (e_ * i_ - f_ * h_) - b_ * (b1 * i_ - f_ * b2) + c_ * (b1 * h_ - e_ * b2),
+                a * (b1 * i_ - f_ * b2) - b0 * (d_ * i_ - f_ * g_) + c_ * (d_ * b2 - b1 * g_),
+                a * (e_ * b2 - b1 * h_) - b_ * (d_ * b2 - b1 * g_) + b0 * (d_ * h_ - e_ * g_),
+            ]
+        )
+        / det
+    )
     converged = jnp.all(jnp.abs(off) < 0.6) & jnp.all(jnp.isfinite(off))
     contrast = c + 0.5 * jnp.dot(g, off)
     # 2x2 spatial Hessian edge test
@@ -275,33 +289,57 @@ def _bilinear_gather_level(stack: Array, lev: Array, x: Array, y: Array) -> Arra
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-def _orientation_hist(dx: Array, dy: Array, lev: Array, x: Array, y: Array, sigma_rel: Array):
-    """36-bin Gaussian-weighted orientation histogram around one keypoint.
+def _slice_window(stack: Array, lev: Array, xi: Array, yi: Array, W: int):
+    """One (W, W) window per channel around a keypoint from a (S, H, W)
+    stack at level `lev` — a single dynamic_slice per keypoint instead of
+    thousands of point gathers (the gather path measured 25x slower).
 
-    Samples a fixed 16x16 grid spanning +-3*(1.5*sigma) — the fixed-shape
-    equivalent of Lowe's variable-radius circular window.
-    Returns hist (36,).
+    Returns (window (W, W), corner_x, corner_y)."""
+    S, H, Wimg = stack.shape
+    cx = jnp.clip(jnp.round(xi).astype(jnp.int32) - W // 2, 0, max(Wimg - W, 0))
+    cy = jnp.clip(jnp.round(yi).astype(jnp.int32) - W // 2, 0, max(H - W, 0))
+    win = jax.lax.dynamic_slice(stack, (lev, cy, cx), (1, W, W))[0]
+    return win, cx, cy
+
+
+def _soft_bins(vals: Array, nb: int, circular: bool):
+    """(P,) bin coords -> (P, nb) soft assignment weights (linear)."""
+    v0 = jnp.floor(vals)
+    f = vals - v0
+    i0 = v0.astype(jnp.int32)
+    if circular:
+        i0m = i0 % nb
+        i1m = (i0m + 1) % nb
+        w0 = jax.nn.one_hot(i0m, nb, dtype=vals.dtype) * (1 - f)[:, None]
+        w1 = jax.nn.one_hot(i1m, nb, dtype=vals.dtype) * f[:, None]
+    else:
+        in0 = (i0 >= 0) & (i0 < nb)
+        in1 = (i0 + 1 >= 0) & (i0 + 1 < nb)
+        w0 = jax.nn.one_hot(jnp.clip(i0, 0, nb - 1), nb, dtype=vals.dtype)
+        w0 = w0 * ((1 - f) * in0)[:, None]
+        w1 = jax.nn.one_hot(jnp.clip(i0 + 1, 0, nb - 1), nb, dtype=vals.dtype)
+        w1 = w1 * (f * in1)[:, None]
+    return w0 + w1
+
+
+def _orientation_hist_dense(wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array):
+    """36-bin orientation histogram over a dense window.
+
+    Every window pixel contributes mag * gaussian(r) to its angle bin —
+    Lowe's formulation exactly, vectorized over the window (no gathers).
     """
-    G = _DESC_GRID
-    win = _ORI_RADIUS_FACTOR * _ORI_SIGMA_FACTOR * sigma_rel
-    lin = jnp.linspace(-1.0, 1.0, G)
-    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
-    sx = x + gx * win
-    sy = y + gy * win
-    gdx = _bilinear_gather_level(dx, lev, sx, sy)
-    gdy = _bilinear_gather_level(dy, lev, sx, sy)
-    mag = jnp.sqrt(gdx * gdx + gdy * gdy)
-    ang = jnp.arctan2(gdy, gdx)  # [-pi, pi]
-    sigma_w = _ORI_SIGMA_FACTOR * sigma_rel
-    w = jnp.exp(-(sx - x) ** 2 / (2 * sigma_w**2) - (sy - y) ** 2 / (2 * sigma_w**2))
-    contrib = (mag * w).reshape(-1)
-    binf = ((ang / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS).reshape(-1)  # [0, 36)
-    b0 = jnp.floor(binf).astype(jnp.int32) % _ORI_BINS
-    fb = binf - jnp.floor(binf)
-    onehot0 = jax.nn.one_hot(b0, _ORI_BINS, dtype=contrib.dtype)
-    onehot1 = jax.nn.one_hot((b0 + 1) % _ORI_BINS, _ORI_BINS, dtype=contrib.dtype)
-    hist = contrib @ (onehot0 * (1 - fb)[:, None] + onehot1 * fb[:, None])
-    # smooth 2x with circular [1 1 1]/3 (OpenCV smooths the histogram)
+    W = wdx.shape[0]
+    wy, wx = jnp.mgrid[0:W, 0:W]
+    rx = wx.astype(jnp.float32) - lx
+    ry = wy.astype(jnp.float32) - ly
+    r2 = rx * rx + ry * ry
+    sw = _ORI_SIGMA_FACTOR * sigma_rel
+    wgt = jnp.exp(-r2 / (2 * sw * sw)) * (r2 <= (_ORI_RADIUS_FACTOR * sw) ** 2)
+    mag = jnp.sqrt(wdx * wdx + wdy * wdy)
+    ang = jnp.arctan2(wdy, wdx)
+    contrib = (mag * wgt).reshape(-1)
+    binf = ((ang / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS).reshape(-1)
+    hist = contrib @ _soft_bins(binf, _ORI_BINS, circular=True)
     for _ in range(2):
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
     return hist
@@ -317,7 +355,6 @@ def _dominant_orientations(hist: Array):
     peak_val = jnp.where(is_peak, hist, -1.0)
     main = jnp.argmax(peak_val)
     main_val = peak_val[main]
-    # secondary: best peak that is not main
     peak_val2 = peak_val.at[main].set(-1.0)
     second = jnp.argmax(peak_val2)
     second_val = peak_val2[second]
@@ -336,69 +373,37 @@ def _dominant_orientations(hist: Array):
     return theta, ok
 
 
-def _descriptor(dx: Array, dy: Array, lev: Array, x: Array, y: Array, sigma_rel: Array, theta: Array):
-    """128-d SIFT descriptor via trilinear soft-binning einsum.
-
-    Fixed 16x16 sample grid over the rotated 4x4-cell window (cell width
-    3*sigma). Each sample soft-assigns to (row, col, ori) bins; the
-    scatter is the contraction  desc[r,c,o] = sum_s w_s R[s,r] C[s,c] O[s,o].
-    """
-    G = _DESC_GRID
-    d = 4  # spatial bins
+def _descriptor_dense(wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array, theta: Array):
+    """128-d descriptor over a dense window: each window pixel soft-assigns
+    into the rotated (4, 4, 8) grid; the trilinear scatter is the MXU
+    contraction desc[r,c,o] = sum_p w_p R[p,r] C[p,c] O[p,o]."""
+    W = wdx.shape[0]
+    d = 4
     nbins = 8
     cell = _DESC_SCALE_FACTOR * sigma_rel
-    half = cell * d / 2.0  # window half-width in px (rotated frame)
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
-
-    lin = (jnp.arange(G) + 0.5) / G * d - d / 2.0  # sample centers in cell units
-    cy, cx = jnp.meshgrid(lin, lin, indexing="ij")
-    # rotate sample offsets into image frame
-    ox = (cx * cos_t - cy * sin_t) * cell
-    oy = (cx * sin_t + cy * cos_t) * cell
-    sx = x + ox
-    sy = y + oy
-    gdx = _bilinear_gather_level(dx, lev, sx, sy)
-    gdy = _bilinear_gather_level(dy, lev, sx, sy)
-    mag = jnp.sqrt(gdx * gdx + gdy * gdy)
-    ang = jnp.arctan2(gdy, gdx) - theta
-
-    # Gaussian weight over the window (sigma = half window, Lowe)
-    wsig = 0.5 * d
-    w = jnp.exp(-(cx**2 + cy**2) / (2 * wsig**2))
-    contrib = (mag * w).reshape(-1)
-
-    # spatial soft-assignment: sample position in bin coords [0, 4)
-    rbin = (cy + d / 2.0 - 0.5).reshape(-1)  # [-0.5, 3.5]
-    cbin = (cx + d / 2.0 - 0.5).reshape(-1)
+    wy, wx = jnp.mgrid[0:W, 0:W]
+    rx = wx.astype(jnp.float32) - lx
+    ry = wy.astype(jnp.float32) - ly
+    # rotate into the descriptor frame, in cell units
+    u = (cos_t * rx + sin_t * ry) / cell
+    v = (-sin_t * rx + cos_t * ry) / cell
+    rbin = (v + d / 2.0 - 0.5).reshape(-1)
+    cbin = (u + d / 2.0 - 0.5).reshape(-1)
+    mag = jnp.sqrt(wdx * wdx + wdy * wdy)
+    ang = jnp.arctan2(wdy, wdx) - theta
     obin = ((ang / (2 * jnp.pi) * nbins) % nbins).reshape(-1)
+    wsig = 0.5 * d
+    wgt = jnp.exp(-(u * u + v * v) / (2 * wsig * wsig))
+    contrib = (mag * wgt).reshape(-1)
 
-    def soft(vals, nb, circular):
-        v0 = jnp.floor(vals)
-        f = vals - v0
-        i0 = v0.astype(jnp.int32)
-        if circular:
-            i0 = i0 % nb
-            i1 = (i0 + 1) % nb
-            w0 = jax.nn.one_hot(i0, nb, dtype=vals.dtype) * (1 - f)[:, None]
-            w1 = jax.nn.one_hot(i1, nb, dtype=vals.dtype) * f[:, None]
-        else:
-            in0 = (i0 >= 0) & (i0 < nb)
-            in1 = (i0 + 1 >= 0) & (i0 + 1 < nb)
-            w0 = jax.nn.one_hot(jnp.clip(i0, 0, nb - 1), nb, dtype=vals.dtype)
-            w0 = w0 * ((1 - f) * in0)[:, None]
-            w1 = jax.nn.one_hot(jnp.clip(i0 + 1, 0, nb - 1), nb, dtype=vals.dtype)
-            w1 = w1 * (f * in1)[:, None]
-        return w0 + w1
+    R = _soft_bins(rbin, d, circular=False)  # (P, 4)
+    C = _soft_bins(cbin, d, circular=False)
+    O = _soft_bins(obin, nbins, circular=True)
+    RC = jnp.einsum("pr,pc->prc", R * contrib[:, None], C).reshape(-1, d * d)  # (P, 16)
+    desc = jnp.einsum("pk,po->ko", RC, O, precision=jax.lax.Precision.HIGHEST).reshape(-1)
 
-    R = soft(rbin, d, circular=False)  # (S, 4)
-    C = soft(cbin, d, circular=False)  # (S, 4)
-    O = soft(obin, nbins, circular=True)  # (S, 8)
-    desc = jnp.einsum(
-        "s,sr,sc,so->rco", contrib, R, C, O, precision=jax.lax.Precision.HIGHEST
-    ).reshape(-1)
-
-    # normalize -> clip 0.2 -> renormalize (Lowe)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
     desc = jnp.minimum(desc, _DESC_MAG_CLIP)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
@@ -439,13 +444,39 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
         # gradient maps at the (integer) gaussian level closest to the layer
         level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[0] - 1)
 
+        # dense window size: must cover the descriptor radius
+        # 3*sigma*sqrt(2)*(d+1)/2 ~ 10.6*sigma at the octave's max sigma
+        Ho, Wo = gauss.shape[1:]
+        Wwin = min(80, (min(Ho, Wo) // 8) * 8)
+
         def per_kp(xi, yi, lev, srel):
-            hist = _orientation_hist(dx, dy, lev, xi, yi, srel)
+            wdx, cx, cy = _slice_window(dx, lev, xi, yi, Wwin)
+            wdy, _, _ = _slice_window(dy, lev, xi, yi, Wwin)
+            lx = xi - cx.astype(jnp.float32)
+            ly = yi - cy.astype(jnp.float32)
+            hist = _orientation_hist_dense(wdx, wdy, lx, ly, srel)
             thetas, th_ok = _dominant_orientations(hist)
-            descs = jax.vmap(lambda t: _descriptor(dx, dy, lev, xi, yi, srel, t))(thetas)
+            descs = jax.vmap(
+                lambda t: _descriptor_dense(wdx, wdy, lx, ly, srel, t)
+            )(thetas)
             return thetas, th_ok, descs
 
-        thetas, th_ok, descs = jax.vmap(per_kp)(x_sub, y_sub, level, sigma_rel)
+        # chunk over candidates (a 1024 x 80 x 80 x 2 window stack is fine;
+        # lax.map bounds it regardless of octave capacity)
+        chunk = 256
+        cap_pad = ((cap + chunk - 1) // chunk) * chunk
+
+        def pad_to(x):
+            return jnp.pad(x, [(0, cap_pad - cap)] + [(0, 0)] * (x.ndim - 1))
+
+        xs = (pad_to(x_sub), pad_to(y_sub), pad_to(level), pad_to(sigma_rel))
+        xs = tuple(v.reshape(cap_pad // chunk, chunk) for v in xs)
+        thetas, th_ok, descs = jax.lax.map(
+            lambda t: jax.vmap(per_kp)(*t), xs
+        )
+        thetas = thetas.reshape(cap_pad, 2)[:cap]
+        th_ok = th_ok.reshape(cap_pad, 2)[:cap]
+        descs = descs.reshape(cap_pad, 2, 128)[:cap]
         # expand: each candidate yields up to 2 oriented keypoints
         n_or = 2
         xy = jnp.stack([x_sub, y_sub], axis=-1) * stride  # to input pixels

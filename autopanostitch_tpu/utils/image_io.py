@@ -31,9 +31,12 @@ IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
 
 @dataclasses.dataclass
 class ImageSet:
-    """A loaded dataset: one padded stack + per-image metadata."""
+    """A loaded dataset: one padded stack + per-image metadata.
 
-    images: np.ndarray  # (N, H, W, 3) float32 in [0, 1], zero-padded
+    images may be uint8 (preferred: 4x cheaper host->device upload) or
+    float32 in [0, 1]; the pipeline converts on device."""
+
+    images: np.ndarray  # (N, H, W, 3) uint8 or float32 [0,1], zero-padded
     sizes: np.ndarray  # (N, 2) int32 valid (h, w) per image
     names: List[str]
 
@@ -68,8 +71,8 @@ def resize_fit(img: np.ndarray, height_limit: int, width_limit: int) -> np.ndarr
 
 
 def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    out = np.zeros((h, w, 3), np.float32)
-    out[: img.shape[0], : img.shape[1]] = img
+    out = np.zeros((h, w, 3), np.uint8)
+    out[: img.shape[0], : img.shape[1]] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     return out
 
 

@@ -54,7 +54,8 @@ def main():
 
     views = load_views()
     sizes = np.array([v.shape[:2] for v in views], np.int32)
-    stack = np.stack(views)
+    # uint8 stack: 4x cheaper host->device upload (converted on device)
+    stack = (np.stack(views) * 255).astype(np.uint8)
     iset = ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(len(views))])
     cfg = StitchConfig(
         detector=DetectorConfig(max_keypoints=1024, num_octaves=4),

@@ -69,7 +69,7 @@ class TestPlanarStitch:
         ex = (xs + x0 + ax).round().astype(int)
         ey = (ys + y0 + ay).round().astype(int)
         ok = (ex >= 0) & (ex < env.shape[1]) & (ey >= 0) & (ey < env.shape[0])
-        p = psnr(pan[ys[ok], xs[ok]], env[ey[ok], ex[ok]])
+        p = psnr(pan[ys[ok], xs[ok]].astype(np.float64) / 255.0, env[ey[ok], ex[ok]])
         assert p > 30.0, f"stitch PSNR {p:.1f} dB"
 
     def test_three_crop_chain(self):
@@ -161,7 +161,7 @@ class TestRotationalStitch:
         ex = (theta + np.pi) / (2 * np.pi) * (ew - 1)
         ey = (phi + np.pi / 2) / np.pi * (eh - 1)
         gt = synthdata._bilinear_np(env, ex, ey)
-        err = pano[ys, xs] - gt
+        err = pano[ys, xs].astype(np.float64) / 255.0 - gt
         mse = np.mean(err**2)
         p = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert p > 25.0, f"rotational stitch PSNR {p:.1f} dB"
