@@ -386,6 +386,24 @@ def bundle_adjust_rkf(
         n_res = jnp.sum(wm) * 4.0
         return JtJ, Jtg, cost, n_res
 
+    def pair_cost(params, p):
+        """Robust cost of one pair — residuals only, no Jacobians (used for
+        the LM accept test; linearizing the candidate would double BA time)."""
+        i = data.pair_ij[p, 0]
+        j = data.pair_ij[p, 1]
+        r, z = res_fn(params[i], params[j], cx[i], cy[i], cx[j], cy[j], data.u_i[p], data.u_j[p])
+        w_ij = _huber_w(jnp.sum(r[:, :2] ** 2, -1), sigma)
+        w_ji = _huber_w(jnp.sum(r[:, 2:] ** 2, -1), sigma)
+        front = (z[:, 0] > 1e-4) & (z[:, 1] > 1e-4)
+        wm = data.w[p] * front * data.pair_valid[p]
+        w4 = jnp.stack([w_ij, w_ij, w_ji, w_ji], -1) * wm[:, None]
+        return jnp.sum(w4 * r * r)
+
+    def build_cost(params, active):
+        cost_p = jax.vmap(lambda p: pair_cost(params, p))(jnp.arange(P))
+        act = active[data.pair_ij[:, 0]] & active[data.pair_ij[:, 1]]
+        return jnp.sum(cost_p * act.astype(params.dtype))
+
     def build_normal_eqns(params, active):
         JtJ_p, Jtg_p, cost_p, n_p = jax.vmap(lambda p: pair_system(params, p))(
             jnp.arange(P)
@@ -467,7 +485,7 @@ def bundle_adjust_rkf(
             cand = jnp.concatenate([theta_new, f_new[:, None]], -1)
             cand = jnp.where(active[:, None], cand, params)
 
-            _, _, cost_new, _ = build_normal_eqns(cand, active)
+            cost_new = build_cost(cand, active)
             # gain-ratio lambda schedule (:557-597); with delta = -H^-1 g the
             # predicted reduction 0.5*(delta^T lam delta - delta^T g) is >= 0
             d = delta.reshape(-1)
@@ -595,11 +613,20 @@ def run_bundle_adjustment(
     )
 
     # ---- incremental schedule ----
+    # cameras join best-connected-first; for large panoramas they join in
+    # groups so the schedule stays O(n / group) LM phases (the reference
+    # adds one camera per step, `bundleAdjustmentRKf.m:146-326` — at one
+    # LM phase per camera a 100-camera panorama would pay 100x the solver
+    # cost for negligible accuracy gain)
     order = incremental_order(loc_counts, np.arange(n), seed)
-    S = n - 1 if n > 1 else 1
+    group = max(1, n // 24)
+    steps = list(range(2, n + 1, group))
+    if not steps or steps[-1] != n:
+        steps.append(n)
+    S = max(1, len(steps))
     schedule = np.zeros((S, n), bool)
-    for s in range(S):
-        schedule[s, order[: s + 2 if n > 1 else 1]] = True
+    for s_i, upto in enumerate(steps):
+        schedule[s_i, order[:upto]] = True
     schedule[-1, :] = True
 
     theta0 = np.stack([np.asarray(geo.so3_log(jnp.asarray(R0[k : k + 1]))).reshape(3) for k in range(n)])

@@ -401,8 +401,14 @@ def _descriptor_dense(wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: A
     R = _soft_bins(rbin, d, circular=False)  # (P, 4)
     C = _soft_bins(cbin, d, circular=False)
     O = _soft_bins(obin, nbins, circular=True)
-    RC = jnp.einsum("pr,pc->prc", R * contrib[:, None], C).reshape(-1, d * d)  # (P, 16)
-    desc = jnp.einsum("pk,po->ko", RC, O, precision=jax.lax.Precision.HIGHEST).reshape(-1)
+    # contract row-by-row so no (P, 4, 4) intermediate materializes
+    rows = []
+    for r in range(d):
+        z = C * (contrib * R[:, r])[:, None]  # (P, 4)
+        rows.append(
+            jnp.matmul(z.T, O, precision=jax.lax.Precision.HIGHEST)  # (4, 8)
+        )
+    desc = jnp.stack(rows).reshape(-1)
 
     desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
     desc = jnp.minimum(desc, _DESC_MAG_CLIP)
@@ -517,14 +523,31 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def extract_batch(imgs: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
-    """vmapped SIFT over a batch of same-size grayscale images (N, H, W).
+@partial(jax.jit, static_argnames=("cfg", "group"))
+def extract_batch(
+    imgs: Array, cfg: DetectorConfig = DetectorConfig(), group: int = 16
+) -> SiftFeatures:
+    """Batched SIFT over same-size grayscale images (N, H, W).
 
     The TPU-native replacement for the reference's per-image parfor
-    (`loadImages.m:82-99`).
+    (`loadImages.m:82-99`). Images run `group` at a time (vmap inside a
+    lax.map) so the per-keypoint window working set stays bounded at
+    ~group x chunk x window regardless of N (a flat vmap over 100 images
+    needs >20 GB of HBM for the descriptor intermediates).
     """
-    return jax.vmap(lambda im: extract(im, cfg))(imgs)
+    N = imgs.shape[0]
+    G = max(1, min(group, N))
+    ngroups = (N + G - 1) // G
+    Npad = ngroups * G
+    imgs_p = jnp.pad(imgs, ((0, Npad - N), (0, 0), (0, 0)))
+    feats = jax.lax.map(
+        lambda ims: jax.vmap(lambda im: extract(im, cfg))(ims),
+        imgs_p.reshape(ngroups, G, *imgs.shape[1:]),
+    )
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((Npad,) + x.shape[2:])[:N], feats
+    )
+    return flat
 
 
 def rgb_to_gray(img: Array) -> Array:
