@@ -148,6 +148,8 @@ class PostConfig:
     crop_panorama: bool = False
     image_write: bool = False
     image_save_folder: str = "./results"
+    show_panorama_imgs_nums: bool = False  # inputs.m:121
+    show_crop_bounding_box: bool = False  # inputs.m:122
 
 
 @_frozen

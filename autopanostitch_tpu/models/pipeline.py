@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from autopanostitch_tpu.config import StitchConfig
+from autopanostitch_tpu.models import annotate as annotate_stage
 from autopanostitch_tpu.models import bundle as bundle_stage
 from autopanostitch_tpu.models import bundle_h as bundle_h_stage
 from autopanostitch_tpu.models import crop as crop_stage
@@ -317,6 +318,15 @@ def stitch_component(
         result["anchor"] = hba["anchor"]
         result["projections"] = {"planar": planar["panorama"]}
         _apply_crop(result, cfg)
+        if cfg.post.show_panorama_imgs_nums:
+            boxes, centers = annotate_stage.warped_boxes_planar(
+                hba["H_abs"], sizes, planar["offset"], planar["scale"]
+            )
+            result["projections_annotated"] = {
+                "planar": annotate_stage.draw_annotations(
+                    planar["panorama"], boxes, centers
+                )
+            }
         return result
 
     cams = ba["cameras"]
@@ -364,6 +374,14 @@ def stitch_component(
     result["projections"] = projections
     result["panorama"] = next(iter(projections.values()))
     _apply_crop(result, cfg)
+    if cfg.post.show_panorama_imgs_nums:
+        annotated = {}
+        for mode, pano_img in projections.items():
+            boxes, centers = annotate_stage.warped_boxes_rotational(
+                result["canvas"][mode], R, K, sizes
+            )
+            annotated[mode] = annotate_stage.draw_annotations(pano_img, boxes, centers)
+        result["projections_annotated"] = annotated
     return result
 
 

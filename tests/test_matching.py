@@ -146,3 +146,43 @@ class TestMatchAllPairs:
             )
             assert int(n_ref) == n[p]
         assert (n > K // 2).all()
+
+
+class TestPallasMatcher:
+    def test_two_nn_pallas_matches_numpy(self):
+        """Pallas streaming 2-NN kernel (interpret mode) is exact."""
+        from autopanostitch_tpu.ops.pallas.match_kernel import two_nn_pallas
+
+        r = np.random.default_rng(11)
+        q = r.normal(size=(200, 128)).astype(np.float32)
+        t = r.normal(size=(500, 128)).astype(np.float32)
+        qid = r.integers(0, 3, 200).astype(np.int32)
+        tid = r.integers(0, 3, 500).astype(np.int32)
+        idx, d1, d2 = map(
+            np.asarray,
+            two_nn_pallas(
+                jnp.asarray(q), jnp.asarray(qid), jnp.asarray(t), jnp.asarray(tid),
+                interpret=True,
+            ),
+        )
+        dist = ((q[:, None] - t[None]) ** 2).sum(-1)
+        dist[qid[:, None] == tid[None, :]] = 1e18
+        np.testing.assert_array_equal(idx, dist.argmin(1))
+        np.testing.assert_allclose(d1, dist.min(1), atol=1e-3)
+        np.testing.assert_allclose(d2, np.partition(dist, 1, axis=1)[:, 1], atol=1e-3)
+
+    def test_self_exclusion(self):
+        from autopanostitch_tpu.ops.pallas.match_kernel import two_nn_pallas
+
+        r = np.random.default_rng(12)
+        d = r.normal(size=(100, 128)).astype(np.float32)
+        ids = np.arange(100, dtype=np.int32) % 50  # pairs share image ids
+        idx, d1, _ = map(
+            np.asarray,
+            two_nn_pallas(
+                jnp.asarray(d), jnp.asarray(ids), jnp.asarray(d), jnp.asarray(ids),
+                jnp.arange(100, dtype=jnp.int32), interpret=True,
+            ),
+        )
+        assert (idx != np.arange(100)).all()  # never self
+        assert (ids[idx] != ids).all()  # never same image
