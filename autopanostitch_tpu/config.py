@@ -44,6 +44,12 @@ class MatchingConfig:
 
     k: int = 4  # Brown-Lowe k=4 nearest neighbours (inputs.m:44)
     match_pairwise: bool = False  # inputs.m:46 matchFeaturesPairwise
+    # second per-component matching pass (imageMatchingPanoramaConComps
+    # re-extract/re-match, inputs.m:105 resizeImagePanoramaCluster): after
+    # panorama discovery, re-match each component's members pairwise (the
+    # global ratio test starves repeated-structure pairs; pairwise recovers
+    # denser match lists for BA)
+    second_pass: bool = True
     method: str = "exhaustive"  # 'exhaustive' | 'approximate' (inputs.m:48)
     threshold: float = 1.5  # match threshold, percent-like (inputs.m:52)
     ratio_threshold: float = 0.6  # Lowe ratio (inputs.m:56)

@@ -219,11 +219,53 @@ def stitch(
         members = np.nonzero(comps == label)[0]
         if len(members) < 2:
             continue
-        result = stitch_component(image_set, graph, feats, members, cfg,
+        comp_graph = graph
+        if cfg.matching.second_pass and len(members) < image_set.n:
+            comp_graph = second_pass_matching(feats, members, graph, cfg, key)
+        result = stitch_component(image_set, comp_graph, feats, members, cfg,
                                   images_dev=images, feathers_dev=feathers)
         panoramas.append(result)
 
     return StitchResult(panoramas=panoramas, graph=graph, components=comps, features=feats)
+
+
+def second_pass_matching(
+    feats: SiftFeatures,
+    members: np.ndarray,
+    graph: MatchGraph,
+    cfg: StitchConfig,
+    key: jax.Array,
+) -> MatchGraph:
+    """Second per-component matching pass (reference
+    `imageMatchingPanoramaConComps.m:48-90`): re-match the component's
+    members pairwise and re-verify. The reference re-resizes and
+    re-extracts per component; we keep the original features (no resize in
+    our loader) and instead upgrade global matches to dense pairwise ones.
+
+    Returns a MatchGraph in GLOBAL image indices restricted to the member
+    pairs."""
+    mem_d = jnp.asarray(members)
+    desc = feats.desc[mem_d]
+    mask = feats.mask[mem_d]
+    pairs_l, idx, m, n = mt.match_all_pairs(
+        desc, mask,
+        ratio=cfg.matching.ratio_threshold,
+        max_matches=cfg.matching.max_matches_per_pair,
+    )
+    pairs_l = np.asarray(pairs_l)
+    n = np.asarray(n)
+    keep = n >= 4
+    pairs_g = members[pairs_l[keep]]  # to global indices
+    pair_idx = np.asarray(idx)[keep]
+    pair_mask = np.asarray(m)[keep]
+    counts = graph.counts.copy()
+    for p, (i, j) in enumerate(pairs_g):
+        counts[i, j] = counts[j, i] = int(n[keep][p])
+    sub_pairs, sub_idx, sub_mask = select_candidate_pairs(
+        pairs_g, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
+    )
+    return verify_matches(feats, sub_pairs, sub_idx, sub_mask, counts, cfg,
+                          jax.random.fold_in(key, 1))
 
 
 def stitch_component(

@@ -232,9 +232,13 @@ def render_tile(
             col, w = sample_one(img, feather, R_k, K_k, gain, ok)
             return (acc + col * w[..., None], wsum + w), None
 
+        # carry init references `origin` so it is device-varying under
+        # shard_map (an invariant zeros init trips the scan vma check)
+        z3 = jnp.zeros((tile_h, tile_w, 3)) + 0.0 * origin[0]
+        z2 = jnp.zeros((tile_h, tile_w)) + 0.0 * origin[0]
         (acc, wsum), _ = jax.lax.scan(
             body,
-            (jnp.zeros((tile_h, tile_w, 3)), jnp.zeros((tile_h, tile_w))),
+            (z3, z2),
             (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
         )
         tile = acc / jnp.maximum(wsum, 1e-8)[..., None]
@@ -247,9 +251,11 @@ def render_tile(
             tile = jnp.where(valid[..., None], col, tile)
             return (tile, wsum + w), None
 
+        z3 = jnp.zeros((tile_h, tile_w, 3)) + 0.0 * origin[0]
+        z2 = jnp.zeros((tile_h, tile_w)) + 0.0 * origin[0]
         (tile, wsum), _ = jax.lax.scan(
             body,
-            (jnp.zeros((tile_h, tile_w, 3)), jnp.zeros((tile_h, tile_w))),
+            (z3, z2),
             (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
         )
     # threshold, not >0 (see planar.composite_band): hairline bilinear

@@ -160,6 +160,57 @@ def multichip_pipeline_step(mesh: Mesh, cfg: DetectorConfig, axis: str = "data")
     return step
 
 
+def sharded_render_bands(
+    images, feathers, R, K, gains, canvas: dict, mesh: Mesh,
+    blend_mode: str = "linear", bands: int = 3, angle_power: float = 1.0,
+    axis: str = "data",
+):
+    """Rotational render with canvas row-bands sharded across chips.
+
+    Each chip renders Hc/n_devices rows of the panorama (images replicated —
+    they are small; the canvas is what scales). This is the pipeline's
+    'context parallelism' analogue (SURVEY.md section 5): no communication
+    at all except the final gather of bands.
+
+    Returns (panorama (Hc_pad, Wc, 3) uint8, coverage) with Hc_pad the
+    band-aligned height (trim to canvas['Hc']).
+    """
+    from autopanostitch_tpu.models.render import render_tile
+
+    n = mesh.devices.size
+    Hc, Wc = canvas["Hc"], canvas["Wc"]
+    band_h = -(-Hc // n)
+    band_h = ((band_h + 7) // 8) * 8  # sublane-align
+    N = images.shape[0]
+    sel = jnp.arange(N, dtype=jnp.int32)
+    sel_ok = jnp.ones((N,), bool)
+    R_ref = jnp.asarray(canvas["R_ref"])
+
+    def local(images, feathers, R, K, gains):
+        b = jax.lax.axis_index(axis)
+        origin = jnp.stack([0.0, b.astype(jnp.float32) * band_h])
+        tile, cov = render_tile(
+            images, feathers, R, K, gains, sel, sel_ok, origin,
+            canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
+            canvas["mode"], band_h, Wc, blend_mode, bands, angle_power,
+        )
+        return tile, cov
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    pano, cover = jax.jit(fn)(
+        jnp.asarray(images), jnp.asarray(feathers),
+        jnp.asarray(R, jnp.float32).reshape(-1, 3, 3),
+        jnp.asarray(K, jnp.float32).reshape(-1, 3, 3),
+        jnp.asarray(gains, jnp.float32),
+    )
+    return pano, cover
+
+
 def psum_gain_stats(local_overlap, local_colorsum, mesh: Mesh, axis: str = "data"):
     """Reduce gain-compensation overlap statistics across chips.
 
