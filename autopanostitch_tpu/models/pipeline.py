@@ -189,10 +189,13 @@ def stitch(
 ) -> StitchResult:
     """Stitch an unordered image set into one or more panoramas.
 
-    Current coverage: feature extraction, global matching, geometric
-    verification, multi-panorama discovery, planar compositing. The
-    rotational (R, K, f bundle-adjusted) render path plugs in at the marked
-    point as stages land.
+    Full pipeline: feature extraction (SIFT or binary corner detectors),
+    global or pairwise matching, RANSAC/MLESAC verification with Brown-Lowe
+    acceptance, multi-panorama discovery, optional per-component second-pass
+    re-matching, bundle adjustment (R,K,f incremental LM or 8-DOF
+    homography BA for planar scans), straightening, gain compensation,
+    rendering in the requested projections with linear/multiband blending,
+    and border / inscribed-rectangle cropping.
     """
     key = jax.random.PRNGKey(seed)
     raw = jnp.asarray(image_set.images)  # single upload; stages reuse it
