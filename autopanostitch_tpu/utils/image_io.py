@@ -70,6 +70,31 @@ def resize_fit(img: np.ndarray, height_limit: int, width_limit: int) -> np.ndarr
     return np.asarray(im, np.float32) / 255.0
 
 
+def resize_pad(img: np.ndarray, height_limit: int, width_limit: int) -> np.ndarray:
+    """'pad' mode (`resizeImagesToLimits.m`): fit-resize then zero-pad to the
+    exact box."""
+    im = resize_fit(img, height_limit, width_limit)
+    out = np.zeros((height_limit, width_limit, 3), np.float32)
+    out[: im.shape[0], : im.shape[1]] = im
+    return out
+
+
+def resize_fillcrop(img: np.ndarray, height_limit: int, width_limit: int) -> np.ndarray:
+    """'fillcrop' mode (`resizeImagesToLimits.m`): scale so the box is fully
+    covered, then center-crop to it."""
+    h, w = img.shape[:2]
+    scale = max(height_limit / h, width_limit / w)
+    nh, nw = max(height_limit, round(h * scale)), max(width_limit, round(w * scale))
+    im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    im = np.asarray(im.resize((nw, nh), Image.LANCZOS), np.float32) / 255.0
+    y0 = (nh - height_limit) // 2
+    x0 = (nw - width_limit) // 2
+    return im[y0 : y0 + height_limit, x0 : x0 + width_limit]
+
+
+_RESIZE_MODES = {"fit": resize_fit, "pad": resize_pad, "fillcrop": resize_fillcrop}
+
+
 def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
     out = np.zeros((h, w, 3), np.uint8)
     out[: img.shape[0], : img.shape[1]] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
@@ -81,14 +106,17 @@ def load_image_set(
     height_limit: int = 800,
     width_limit: int = 800,
     pad_multiple: int = 32,
+    mode: str = "fit",
 ) -> ImageSet:
-    """Load, EXIF-rotate, fit-resize and zero-pad a set of images into one
+    """Load, EXIF-rotate, resize ('fit' | 'pad' | 'fillcrop', reference
+    `resizeImagesToLimits.m`) and zero-pad a set of images into one
     static-shape stack (reference: `loadImages.m:56-80`).
 
     pad_multiple rounds the common shape up so a handful of datasets share
     one compiled executable shape.
     """
-    imgs = [resize_fit(load_image(p), height_limit, width_limit) for p in paths]
+    resize = _RESIZE_MODES[mode]
+    imgs = [resize(load_image(p), height_limit, width_limit) for p in paths]
     sizes = np.array([im.shape[:2] for im in imgs], np.int32)
     H = int(np.ceil(sizes[:, 0].max() / pad_multiple) * pad_multiple)
     W = int(np.ceil(sizes[:, 1].max() / pad_multiple) * pad_multiple)

@@ -60,3 +60,19 @@ def test_find_datasets_direct_and_nested(dataset_dir):
     assert list(nested) == ["setA"]
     direct = cli.find_datasets(str(dataset_dir / "setA"))
     assert len(next(iter(direct.values()))) == 2
+
+
+def test_resize_modes(tmp_path):
+    from PIL import Image as PILImage
+
+    from autopanostitch_tpu.utils import image_io
+
+    img = synthdata.texture(0, 300, 500)
+    fit = image_io.resize_fit(img, 200, 200)
+    assert max(fit.shape[:2]) <= 200 and abs(fit.shape[1] / fit.shape[0] - 500 / 300) < 0.05
+    pad = image_io.resize_pad(img, 200, 200)
+    assert pad.shape == (200, 200, 3)
+    assert pad[-1, -1].sum() == 0  # padded region
+    fc = image_io.resize_fillcrop(img, 200, 200)
+    assert fc.shape == (200, 200, 3)
+    assert fc.min() >= 0 and fc[-1, -1].sum() > 0  # fully covered
