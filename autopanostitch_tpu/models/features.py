@@ -37,7 +37,14 @@ def extract_features(
         from autopanostitch_tpu.ops import corners
 
         feats = corners.extract_corners_batch(gray, cfg, det.lower())
-    else:  # SIFT (SURF/KAZE requests fall back to SIFT with a note)
+    elif det in ("SURF", "KAZE"):
+        # SURF -> exact Gaussian determinant-of-Hessian blobs + SIFT
+        # descriptors (ops/doh.py); KAZE maps to the same detector (its
+        # nonlinear scale space is not reproduced - documented)
+        from autopanostitch_tpu.ops import doh
+
+        feats = doh.extract_doh_batch(gray, cfg)
+    else:  # SIFT / vl_SIFT
         feats = sift.extract_batch(gray, cfg)
     sizes = jnp.asarray(sizes)
     h_valid = sizes[:, 0][:, None].astype(jnp.float32)
