@@ -69,7 +69,7 @@ def stitch_dataset(name: str, paths, cfg, out_dir: str):
     with timer.stage("Image loading"):
         iset = load_image_set(paths, cfg.render.height_limit, cfg.render.width_limit)
     with timer.stage("Stitching (features/match/BA/render)"):
-        result = pipeline.stitch(iset, cfg)
+        result = pipeline.stitch(iset, cfg, cache_dir=getattr(cfg, "_cache_dir", None))
     with timer.stage("Crop & save"):
         for pano_i, pano in enumerate(result.panoramas):
             panos = pano.get("projections_cropped") or pano["projections"]
@@ -96,9 +96,12 @@ def main(argv=None):
     ap.add_argument("--force-planar", action="store_true")
     ap.add_argument("--size-limit", type=int, default=800)
     ap.add_argument("--log", default=None)
+    ap.add_argument("--cache", default=None, help="per-stage artifact cache dir (resume)")
     args = ap.parse_args(argv)
 
     cfg = build_config(args)
+    if args.cache:
+        object.__setattr__(cfg, "_cache_dir", args.cache)
     os.makedirs(args.out, exist_ok=True)
     datasets = find_datasets(args.root)
     if not datasets:

@@ -186,6 +186,7 @@ def stitch(
     image_set: ImageSet,
     cfg: StitchConfig = StitchConfig(),
     seed: int = 0,
+    cache_dir: Optional[str] = None,
 ) -> StitchResult:
     """Stitch an unordered image set into one or more panoramas.
 
@@ -206,7 +207,24 @@ def stitch(
     feathers = samp_ops.feather_stack(
         jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
     )
-    feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
+    cache = None
+    cache_key = None
+    if cache_dir:
+        from autopanostitch_tpu.utils.cache import StageCache, fingerprint
+
+        cache = StageCache(cache_dir)
+        cache_key = fingerprint(image_set.names, image_set.sizes, repr(cfg.detector))
+        cached = cache.load(cache_key, "features")
+        if cached is not None:
+            from autopanostitch_tpu.ops.sift import SiftFeatures
+
+            feats = SiftFeatures(**{k: jnp.asarray(v) for k, v in cached.items()})
+        else:
+            feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
+            cache.save(cache_key, "features",
+                       **{f: np.asarray(getattr(feats, f)) for f in feats._fields})
+    else:
+        feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
 
     pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
     if len(pairs):

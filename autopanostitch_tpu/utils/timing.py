@@ -81,3 +81,22 @@ class Tee:
 
     def __exit__(self, *a):
         self.close()
+
+
+def report_device_memory(out: Optional[TextIO] = None) -> Optional[Dict[str, float]]:
+    """Print / return HBM usage of the first device (the reference's
+    `utils/reportGPUMemory.m`). Returns None when stats are unavailable
+    (e.g. CPU backend)."""
+    import jax
+
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        stats = None
+    if not stats:
+        return None
+    used = stats.get("bytes_in_use", 0) / 1e6
+    limit = stats.get("bytes_limit", 0) / 1e6
+    print(f"Device memory: {used:.0f} / {limit:.0f} MB in use", file=out or sys.stdout)
+    return {"used_mb": used, "limit_mb": limit}
