@@ -417,6 +417,9 @@ def stitch_component(
             (canvas["Hc"], canvas["Wc"]),
             cfg.gain,
         )
+        blend_mode = cfg.blend.mode
+        if blend_mode == "none":
+            blend_mode = f"none-{cfg.blend.compose_none_policy}"
         pano, cover = render_stage.render_rotational(
             images,
             feathers,
@@ -424,7 +427,7 @@ def stitch_component(
             K,
             canvas,
             gains=gains,
-            blend_mode=cfg.blend.mode,
+            blend_mode=blend_mode,
             bands=cfg.blend.bands,
             tile=cfg.render.tile,
             angle_power=cfg.render.angle_power,

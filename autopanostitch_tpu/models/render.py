@@ -242,20 +242,31 @@ def render_tile(
             (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
         )
         tile = acc / jnp.maximum(wsum, 1e-8)[..., None]
-    else:  # 'none': last valid source wins (composeNonePolicy 'last')
+    else:
+        # 'none' with the reference's overwrite policies
+        # (`fuseTile` :863-914): none-last | none-first | none-maxangle
+        policy = blend_mode.split("-")[1] if "-" in blend_mode else "last"
+
         def body(carry, inp):
-            tile, wsum = carry
+            tile, wsum, best = carry
             img, feather, R_k, K_k, gain, ok = inp
             col, w = sample_one(img, feather, R_k, K_k, gain, ok)
-            valid = w > 0
-            tile = jnp.where(valid[..., None], col, tile)
-            return (tile, wsum + w), None
+            valid = w > 1e-6
+            if policy == "first":
+                write = valid & (wsum <= 1e-6)
+            elif policy == "maxangle":
+                write = valid & (w > best)
+            else:  # 'last'
+                write = valid
+            tile = jnp.where(write[..., None], col, tile)
+            best = jnp.where(write, w, best)
+            return (tile, wsum + w, best), None
 
         z3 = jnp.zeros((tile_h, tile_w, 3)) + 0.0 * origin[0]
         z2 = jnp.zeros((tile_h, tile_w)) + 0.0 * origin[0]
-        (tile, wsum), _ = jax.lax.scan(
+        (tile, wsum, _), _ = jax.lax.scan(
             body,
-            (z3, z2),
+            (z3, z2, z2),
             (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
         )
     # threshold, not >0 (see planar.composite_band): hairline bilinear

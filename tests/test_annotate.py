@@ -34,3 +34,47 @@ def test_bright_colors():
     c = annotate.bright_colors(5)
     assert c.shape == (5, 3)
     assert (c.max(axis=1) == 255).all()
+
+
+def test_compose_none_policies():
+    """'none-first' keeps the first writer, 'none-last' the last,
+    'none-maxangle' the best-facing camera."""
+    import jax.numpy as jnp
+
+    from autopanostitch_tpu.models import render as rstage
+    from autopanostitch_tpu.ops import geometry as geo
+
+    n = 2
+    imgs = np.zeros((n, 64, 96, 3), np.float32)
+    imgs[0] += 0.25
+    imgs[1] += 0.75
+    feathers = np.ones((n, 64, 96), np.float32)
+    # camera 1 slightly rotated so overlap exists but angles differ
+    R = np.stack([
+        np.eye(3, dtype=np.float32),
+        np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.12, 0.0], jnp.float32))),
+    ])
+    K = np.asarray(geo.build_K(jnp.full(n, 90.0), jnp.full(n, 47.5), jnp.full(n, 31.5)))
+    canvas = {"mode": "spherical", "f_pan": 90.0, "x0": -0.7, "y0": -0.45,
+              "Hc": 64, "Wc": 128, "R_ref": np.eye(3, dtype=np.float32)}
+    sel = jnp.arange(n, dtype=jnp.int32)
+    ok = jnp.ones(n, bool)
+    outs = {}
+    for policy in ("none-last", "none-first", "none-maxangle"):
+        tile, cov = rstage.render_tile(
+            jnp.asarray(imgs), jnp.asarray(feathers), jnp.asarray(R), jnp.asarray(K),
+            jnp.ones((n, 3)), sel, ok, jnp.zeros(2), canvas["f_pan"],
+            canvas["x0"], canvas["y0"], jnp.asarray(canvas["R_ref"]),
+            "spherical", 64, 128, policy, 3, 1.0,
+        )
+        outs[policy] = np.asarray(tile)
+    # overlap region differs between first and last
+    diff = (outs["none-first"].astype(int) != outs["none-last"].astype(int)).any(-1)
+    assert diff.sum() > 50
+    # in the overlap, 'first' shows image0 value (~64), 'last' image1 (~191)
+    ys, xs = np.nonzero(diff)
+    assert np.median(outs["none-first"][ys, xs, 0]) < 100
+    assert np.median(outs["none-last"][ys, xs, 0]) > 150
+    # maxangle picks per-pixel the better-facing source: both values present
+    ma = outs["none-maxangle"][ys, xs, 0]
+    assert (ma < 100).any() and (ma > 150).any()
