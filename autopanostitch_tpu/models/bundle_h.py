@@ -72,7 +72,8 @@ def bundle_adjust_h(
     sigma = cfg.sigma_huber
 
     jac_fn = jax.vmap(
-        jax.jacfwd(lambda pp, ui, uj: _match_residual(pp[:8], pp[8:], ui, uj)),
+        # 2 residual outputs vs 16 params: reverse mode is 8x cheaper here
+        jax.jacrev(lambda pp, ui, uj: _match_residual(pp[:8], pp[8:], ui, uj)),
         in_axes=(None, 0, 0),
     )
     res_fn = jax.vmap(_match_residual, in_axes=(None, None, 0, 0))
