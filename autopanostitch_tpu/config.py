@@ -85,7 +85,7 @@ class BundleConfig:
     focal_estimate_method: str = "shumSzeliskiOneHPaper"  # inputs.m:82
     residual_one_direction: bool = False  # inputs.m:84
     max_matches: int = 300  # per-edge match cap (inputs.m:85)
-    incremental_lm_iters: int = 10  # LM iters per incremental step (TPU)
+    incremental_lm_iters: int = 8  # LM iters per incremental step (TPU)
     # priors (bundleAdjustmentRKf.m buildBrownLowePrior)
     theta_prior: float = 3.141592653589793 / 16.0
     focal_prior_frac: float = 20.0  # prior sigma = mean_f / 20

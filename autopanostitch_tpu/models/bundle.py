@@ -646,7 +646,7 @@ def run_bundle_adjustment(
     # LM phase per camera a 100-camera panorama would pay 100x the solver
     # cost for negligible accuracy gain)
     order = incremental_order(loc_counts, np.arange(n), seed)
-    group = max(1, n // 24)
+    group = max(1, n // 12)
     steps = list(range(2, n + 1, group))
     if not steps or steps[-1] != n:
         steps.append(n)
