@@ -37,10 +37,33 @@ def linear_blend(colors: Array, weights: Array) -> Array:
 
 
 def _blur_nc(x: Array, sigma: float) -> Array:
-    """Gaussian blur over the spatial dims of (..., H, W)."""
-    flat = x.reshape((-1,) + x.shape[-2:])
-    out = jax.vmap(lambda im: gaussian_blur(im, sigma))(flat)
-    return out.reshape(x.shape)
+    """Gaussian blur over the spatial dims of (..., H, W).
+
+    One depthwise conv over all leading dims as channels (vmapping
+    per-image convs issues N*C tiny convolutions; a single grouped conv
+    keeps the VPU busy)."""
+    from autopanostitch_tpu.ops.sift import _gaussian_kernel1d
+
+    if sigma <= 0:
+        return x
+    k = _gaussian_kernel1d(sigma)
+    r = k.shape[0] // 2
+    C = 1
+    for d in x.shape[:-2]:
+        C *= d
+    flat = x.reshape((1, C) + x.shape[-2:])
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
+    kh = jnp.broadcast_to(k.reshape(1, 1, 1, -1), (C, 1, 1, k.shape[0]))
+    kv = jnp.broadcast_to(k.reshape(1, 1, -1, 1), (C, 1, k.shape[0], 1))
+    flat = jax.lax.conv_general_dilated(
+        flat, kh, (1, 1), "VALID", feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    flat = jax.lax.conv_general_dilated(
+        flat, kv, (1, 1), "VALID", feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return flat.reshape(x.shape)
 
 
 def _down2(x: Array) -> Array:
