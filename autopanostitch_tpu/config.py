@@ -13,7 +13,7 @@ sizes, mesh axes) have no reference equivalent and are grouped in
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def _frozen(cls):
@@ -51,7 +51,13 @@ class MatchingConfig:
     # denser match lists for BA)
     second_pass: bool = True
     method: str = "exhaustive"  # 'exhaustive' | 'approximate' (inputs.m:48)
-    threshold: float = 1.5  # match threshold, percent-like (inputs.m:52)
+    # Match threshold (inputs.m:52, matchFeaturesScratch.m:177-178): for
+    # float descriptors a raw-SSD cut (unit-norm SIFT -> SSD in [0,4]); for
+    # binary descriptors percent mismatched bits. None = the scratch
+    # matcher's per-type defaults (float: no cut; binary: 10 percent,
+    # matchFeaturesScratch.m:93-100). Applies to the PAIRWISE matcher only,
+    # like the reference (the global path is ratio-test only).
+    threshold: Optional[float] = None
     ratio_threshold: float = 0.6  # Lowe ratio (inputs.m:56)
     max_matches_per_pair: int = 512  # TPU capacity for per-pair match lists
 
@@ -143,6 +149,11 @@ class RenderConfig:
     crop_border: bool = True
     tile: Tuple[int, int] = (512, 512)
     canvas_color: str = "black"
+    # resampling filter in the compositing gather ('nearest' | 'bilinear' |
+    # 'bicubic'), mirroring `imageWarp.m:108-302`. Bicubic costs ~4x the
+    # gather work of bilinear but noticeably sharpens resampled texture
+    # (the round-1 PSNR blocker was bilinear softness).
+    interpolation: str = "bicubic"
 
 
 @_frozen

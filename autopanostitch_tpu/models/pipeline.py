@@ -56,6 +56,21 @@ def _to_float(raw):
     return raw.astype(jnp.float32) / 255.0
 
 
+def _matcher_semantics(cfg: StitchConfig):
+    """(threshold, binary) for the descriptor type of cfg.detector.
+
+    Binary corner detectors produce {0,1} descriptors whose squared L2 IS
+    the Hamming distance, so the matchers switch to linear-ratio and
+    percent-bits threshold semantics (`matchFeaturesScratch.m:93-100,
+    169-178`). threshold=None maps to the scratch matcher's per-type
+    defaults: no cut for float, 10 percent mismatched bits for binary."""
+    binary = cfg.detector.detector.upper() in ("HARRIS", "FAST", "ORB", "BRISK")
+    threshold = cfg.matching.threshold
+    if threshold is None:
+        threshold = 10.0 if binary else float("inf")
+    return float(threshold), binary
+
+
 def match_features(feats: SiftFeatures, cfg: StitchConfig):
     """Feature matching stage producing per-pair putative match lists.
 
@@ -63,6 +78,7 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
     (`featureMatchingPairwise.m`, `inputs.m:46 matchFeaturesPairwise`).
     Returns (pairs, pair_idx, pair_mask, counts)."""
     N, K, D = feats.desc.shape
+    threshold, binary = _matcher_semantics(cfg)
 
     if cfg.matching.match_pairwise:
         pairs, idx, m, n = mt.match_all_pairs(
@@ -70,6 +86,8 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
             feats.mask,
             ratio=cfg.matching.ratio_threshold,
             max_matches=cfg.matching.max_matches_per_pair,
+            threshold=threshold,
+            binary=binary,
         )
         pairs = np.asarray(pairs)
         n = np.asarray(n)
@@ -87,7 +105,9 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
     nn_idx, nn_dist = mt.global_knn(
         desc, mask, image_id, k=cfg.matching.k, block=cfg.tpu.match_block
     )
-    best, accepted = mt.global_ratio_test(nn_idx, nn_dist, ratio=cfg.matching.ratio_threshold)
+    best, accepted = mt.global_ratio_test(
+        nn_idx, nn_dist, ratio=cfg.matching.ratio_threshold, binary=binary
+    )
     return mt.global_matches_to_pairs(
         np.asarray(best),
         np.asarray(accepted),
@@ -268,10 +288,13 @@ def second_pass_matching(
     mem_d = jnp.asarray(members)
     desc = feats.desc[mem_d]
     mask = feats.mask[mem_d]
+    threshold, binary = _matcher_semantics(cfg)
     pairs_l, idx, m, n = mt.match_all_pairs(
         desc, mask,
         ratio=cfg.matching.ratio_threshold,
         max_matches=cfg.matching.max_matches_per_pair,
+        threshold=threshold,
+        binary=binary,
     )
     pairs_l = np.asarray(pairs_l)
     n = np.asarray(n)
@@ -373,6 +396,7 @@ def stitch_component(
             bands=cfg.blend.bands,
             max_megapixel=cfg.render.max_megapixel,
             gain_cfg=cfg.gain,
+            interp=cfg.render.interpolation,
         )
         result.update(planar)
         result["hba"] = {k: hba[k] for k in ("H_abs", "anchor", "final_cost")}
@@ -380,6 +404,7 @@ def stitch_component(
         result["reachable"] = hba["reachable"]
         result["anchor"] = hba["anchor"]
         result["projections"] = {"planar": planar["panorama"]}
+        result["coverage_by_mode"] = {"planar": planar["coverage"]}
         _apply_crop(result, cfg)
         if cfg.post.show_panorama_imgs_nums:
             boxes, centers = annotate_stage.warped_boxes_planar(
@@ -432,13 +457,16 @@ def stitch_component(
             tile=cfg.render.tile,
             angle_power=cfg.render.angle_power,
             sizes=sizes,
+            interp=cfg.render.interpolation,
         )
         projections[mode] = pano
         result.setdefault("canvas", {})[mode] = canvas
         result.setdefault("gains", {})[mode] = gains
-        result["coverage"] = cover
+        result.setdefault("coverage_by_mode", {})[mode] = cover
     result["projections"] = projections
     result["panorama"] = next(iter(projections.values()))
+    # headline coverage matches result["panorama"] (the first projection)
+    result["coverage"] = result["coverage_by_mode"][cfg.render.projections[0]]
     _apply_crop(result, cfg)
     if cfg.post.show_panorama_imgs_nums:
         annotated = {}
@@ -454,11 +482,13 @@ def stitch_component(
 def _apply_crop(result: Dict, cfg: StitchConfig) -> None:
     """Border/bbox crop + optional inscribed-rectangle crop (reference
     `cropNonzeroBbox` + `panoramaCropper`)."""
-    cover = result.get("coverage")
-    if cover is None:
+    by_mode = result.get("coverage_by_mode")
+    if not by_mode:
         return
     cropped = {}
     for mode, pano in result["projections"].items():
+        # each projection has its own canvas size -> its own coverage mask
+        cover = by_mode[mode]
         if cfg.render.crop_border:
             pano_c, rect = crop_stage.crop_bbox(pano, cover)
         else:

@@ -115,7 +115,9 @@ def planar_canvas_bounds(
     return Hc, Wc, float(x0), float(y0), scale
 
 
-@partial(jax.jit, static_argnames=("band_h", "out_w", "blend_mode", "bands"))
+@partial(
+    jax.jit, static_argnames=("band_h", "out_w", "blend_mode", "bands", "interp")
+)
 def composite_band(
     images: Array,  # (N, H, W, 3)
     feathers: Array,  # (N, H, W)
@@ -128,11 +130,15 @@ def composite_band(
     y0,
     blend_mode: str = "linear",
     bands: int = 3,
+    interp: str = "bilinear",
 ):
     """One canvas row band: warp every image into the band and blend."""
 
     def warp_one(img, feather, Hi, ok, gain):
-        col, _ = samp.warp_homography(img * gain[None, None, :], Hi, band_h, out_w, x0, y0)
+        col, _ = samp.warp_homography(
+            img * gain[None, None, :], Hi, band_h, out_w, x0, y0, method=interp
+        )
+        # feather stays bilinear (bicubic overshoot on a ramp can go negative)
         w, _ = samp.warp_homography(feather[..., None], Hi, band_h, out_w, x0, y0)
         w = w[..., 0] * ok
         return col * ok, w
@@ -189,6 +195,7 @@ def composite_from_abs(
     max_megapixel: float = 50.0,
     band_h: int = 512,
     gain_cfg: GainConfig | None = None,
+    interp: str = "bilinear",
 ):
     """Composite given absolute homographies (image k -> canvas frame).
 
@@ -224,7 +231,7 @@ def composite_from_abs(
     for r0 in range(0, Hc, band_h):
         band, cov = composite_band(
             imgs_d, fea_d, Hi_d, ok_d, g_d, band_h, Wc,
-            x0s, y0s + float(r0), blend_mode, bands,
+            x0s, y0s + float(r0), blend_mode, bands, interp,
         )
         bands_out.append((r0, band, cov))
     for r0, band, cov in bands_out:

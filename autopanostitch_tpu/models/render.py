@@ -171,7 +171,10 @@ def compute_canvas(
 # Tile kernel
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mode", "tile_h", "tile_w", "blend_mode", "bands"))
+@partial(
+    jax.jit,
+    static_argnames=("mode", "tile_h", "tile_w", "blend_mode", "bands", "interp"),
+)
 def render_tile(
     images: Array,  # (N, H, W, 3) FULL stack (gathered inside by sel)
     feathers: Array,  # (N, H, W)
@@ -191,6 +194,7 @@ def render_tile(
     blend_mode: str = "linear",
     bands: int = 3,
     angle_power: float = 1.0,
+    interp: str = "bilinear",
 ):
     """Render one canvas tile (reference `fuseTile`/`sampleOneTile`).
 
@@ -211,9 +215,13 @@ def render_tile(
     K = K[sel]
     gains = gains[sel] * sel_ok[:, None]
 
+    sampler = samp._SAMPLERS[interp]
+
     def sample_one(img, feather, R_k, K_k, gain, ok):
         u, v, front, cosang = proj.project_ray_to_camera(d, R_k, K_k)
-        col, valid = samp.sample_bilinear(img, u, v)
+        col, valid = sampler(img, u, v)
+        # feather stays bilinear: it is a weight ramp, and bicubic overshoot
+        # on a ramp can go negative
         wf, _ = samp.sample_bilinear(feather[..., None], u, v)
         w_ang = jnp.where(front, cosang, 0.0) ** angle_power
         w = w_ang * jnp.maximum(wf[..., 0], 1e-4) * valid * front * ok
@@ -348,6 +356,7 @@ def render_rotational(
     angle_power: float = 1.0,
     sizes: np.ndarray | None = None,
     max_contributors: int = 8,
+    interp: str = "bilinear",
 ):
     """Full rotational panorama: python tile loop over ONE jitted kernel,
     with per-tile contributor culling (cost O(canvas x C), C <= 8, instead
@@ -384,6 +393,7 @@ def render_rotational(
                 jnp.asarray([c0, r0], jnp.float32),
                 canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
                 canvas["mode"], th, tw, blend_mode, bands, angle_power,
+                interp,
             )
             tiles.append((r0, c0, t, cov))
             t_i += 1

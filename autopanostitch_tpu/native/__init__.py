@@ -11,9 +11,9 @@ Falls back gracefully: importers catch exceptions and use the numpy paths.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -22,10 +22,18 @@ _SRC = os.path.join(os.path.dirname(__file__), "kernels.cpp")
 
 
 def _build_lib() -> str:
-    cache = os.path.join(tempfile.gettempdir(), "autopanostitch_native")
-    os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "kernels.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+    # Per-user cache dir (0700) + source-content hash in the filename: no
+    # other user can pre-plant a kernels.so that CDLL would pick up, and a
+    # source edit always misses the cache (mtime tricks can't help).
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "autopanostitch",
+    )
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(cache, f"kernels_{digest}.so")
+    if os.path.exists(so):
         return so
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", so]
     try:

@@ -74,7 +74,7 @@ def two_nn(
     return idx1, d1, d2
 
 
-@partial(jax.jit, static_argnames=("max_matches",))
+@partial(jax.jit, static_argnames=("max_matches", "binary"))
 def match_pair(
     desc_a: Array,
     mask_a: Array,
@@ -82,14 +82,20 @@ def match_pair(
     mask_b: Array,
     ratio: float = 0.6,
     max_matches: int = 512,
+    threshold: float = float("inf"),
+    binary: bool = False,
 ):
-    """Match two descriptor sets: 2-NN, Lowe ratio test, mutual uniqueness.
+    """Match two descriptor sets: 2-NN, Lowe ratio + threshold, uniqueness.
 
-    The ratio test compares squared distances against ratio^2 (the reference
-    compares SSD against r^2, `matchFeaturesScratch.m:169-175`). Uniqueness
-    uses mutual-nearest consistency instead of the reference's greedy
-    distance-sorted dedup (`matchFeaturesScratch.m:186-211`) — a stricter,
-    fully-parallel criterion.
+    Float descriptors: the ratio test compares squared distances against
+    ratio^2 and the threshold cuts raw SSD (the reference compares SSD
+    against r^2 and `dBest <= MatchThreshold`,
+    `matchFeaturesScratch.m:169-178`). Binary ({0,1}) descriptors: squared
+    L2 IS the Hamming distance, so the ratio is applied linearly and the
+    threshold is percent mismatched bits (`matchFeaturesScratch.m:171,120`).
+    Uniqueness uses mutual-nearest consistency instead of the reference's
+    greedy distance-sorted dedup (`matchFeaturesScratch.m:186-211`) — a
+    stricter, fully-parallel criterion.
 
     Returns:
       idx:  (max_matches, 2) int32 [ia, ib] local index pairs (padded 0)
@@ -99,9 +105,14 @@ def match_pair(
     ia2b, d1_ab, d2_ab = two_nn(desc_a, mask_a, desc_b, mask_b)
     ib2a, _, _ = two_nn(desc_b, mask_b, desc_a, mask_a)
 
-    pass_ratio = d1_ab < (ratio * ratio) * d2_ab
+    if binary:
+        pass_ratio = d1_ab <= ratio * d2_ab  # raw Hamming: linear ratio
+        thresh_cut = (threshold / 100.0) * desc_a.shape[-1]
+    else:
+        pass_ratio = d1_ab < (ratio * ratio) * d2_ab
+        thresh_cut = threshold
     mutual = ib2a[ia2b] == jnp.arange(desc_a.shape[0])
-    ok = pass_ratio & mutual & mask_a & (d1_ab < _BIG)
+    ok = pass_ratio & (d1_ab <= thresh_cut) & mutual & mask_a & (d1_ab < _BIG)
 
     # compact accepted matches to the front, ordered by ascending distance
     order_key = jnp.where(ok, d1_ab, _BIG)
@@ -118,13 +129,18 @@ def match_pair(
     return idx, m, jnp.sum(ok.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("max_matches", "ratio", "chunk"))
+@partial(
+    jax.jit,
+    static_argnames=("max_matches", "ratio", "chunk", "threshold", "binary"),
+)
 def match_all_pairs(
     desc: Array,  # (N, K, D)
     mask: Array,  # (N, K)
     ratio: float = 0.6,
     max_matches: int = 512,
     chunk: int = 16,
+    threshold: float = float("inf"),
+    binary: bool = False,
 ):
     """Pairwise matching over every (i < j) image pair in one program.
 
@@ -146,7 +162,8 @@ def match_all_pairs(
 
     def one(i, j):
         return match_pair(
-            desc[i], mask[i], desc[j], mask[j], ratio=ratio, max_matches=max_matches
+            desc[i], mask[i], desc[j], mask[j], ratio=ratio,
+            max_matches=max_matches, threshold=threshold, binary=binary,
         )
 
     def step(_, ij):
@@ -209,7 +226,9 @@ def global_knn(desc: Array, mask: Array, image_id: Array, k: int = 4, block: int
     return nn_idx.reshape(Fpad, k)[:F], nn_dist.reshape(Fpad, k)[:F]
 
 
-def global_ratio_test(nn_idx: Array, nn_dist: Array, ratio: float = 0.6):
+def global_ratio_test(
+    nn_idx: Array, nn_dist: Array, ratio: float = 0.6, binary: bool = False
+):
     """Per-query cross-image Lowe ratio test on global kNN results.
 
     Brown-Lowe global matching (`featureMatchingGlobal.m:123-147`): the best
@@ -225,12 +244,17 @@ def global_ratio_test(nn_idx: Array, nn_dist: Array, ratio: float = 0.6):
     Euclidean ratio of sqrt(0.6) ~ 0.77 — we treat that as a bug and use the
     consistent semantics.
 
+    For binary ({0,1}) descriptors the squared L2 distances ARE raw Hamming
+    distances, so the ratio is applied linearly (the reference binary path
+    ratio-tests raw distances, `matchFeaturesScratch.m:171`).
+
     Returns (target (F,), accepted (F,)) — target feature index per query.
     """
     best = nn_idx[:, 0]
     d1 = nn_dist[:, 0]
     d2 = nn_dist[:, 1]
-    accepted = (d1 < (ratio * ratio) * d2) & (d1 < _BIG)
+    r = ratio if binary else ratio * ratio
+    accepted = (d1 < r * d2) & (d1 < _BIG)
     return best, accepted
 
 

@@ -224,6 +224,18 @@ def verify_pairs(
       num_putative (P,), accepted (P,) bool.
     """
     P, M = pair_mask.shape
+    if P == 0:
+        # No candidate pairs (unrelated images, single-image sets): return
+        # correctly-shaped empties instead of crashing on outs[0].
+        f32, i32 = jnp.float32, jnp.int32
+        return {
+            "H": jnp.zeros((0, 3, 3), f32),
+            "H_inv": jnp.zeros((0, 3, 3), f32),
+            "inliers": jnp.zeros((0, M), bool),
+            "num_inliers": jnp.zeros((0,), i32),
+            "num_putative": jnp.zeros((0,), i32),
+            "accepted": jnp.zeros((0,), bool),
+        }
     chunk = max(1, min(chunk, P))
     nchunks = (P + chunk - 1) // chunk
     Ppad = nchunks * chunk
