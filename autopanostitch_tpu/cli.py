@@ -99,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--cache", default=None, help="per-stage artifact cache dir (resume)")
     args = ap.parse_args(argv)
 
+    from autopanostitch_tpu.utils import compile_cache
+
+    compile_cache.enable()  # cold-process XLA compiles hit the disk cache
     cfg = build_config(args)
     if args.cache:
         object.__setattr__(cfg, "_cache_dir", args.cache)

@@ -50,6 +50,12 @@ class MatchingConfig:
     # global ratio test starves repeated-structure pairs; pairwise recovers
     # denser match lists for BA)
     second_pass: bool = True
+    # full reference second pass: re-resize each component's ORIGINAL
+    # images to the render height/width limits, re-extract features and
+    # re-verify (`imageMatchingPanoramaConComps.m:48-90`). Requires the
+    # ImageSet to carry originals or paths (load_image_set
+    # keep_originals=True); falls back to re-matching existing features.
+    resize_panorama_cluster: bool = True
     method: str = "exhaustive"  # 'exhaustive' | 'approximate' (inputs.m:48)
     # Match threshold (inputs.m:52, matchFeaturesScratch.m:177-178): for
     # float descriptors a raw-SSD cut (unit-norm SIFT -> SSD in [0,4]); for
@@ -92,12 +98,27 @@ class BundleConfig:
     residual_one_direction: bool = False  # inputs.m:84
     max_matches: int = 300  # per-edge match cap (inputs.m:85)
     incremental_lm_iters: int = 8  # LM iters per incremental step (TPU)
-    # priors (bundleAdjustmentRKf.m buildBrownLowePrior)
+    # priors (bundleAdjustmentRKf.m buildBrownLowePrior :1503-1637)
     theta_prior: float = 3.141592653589793 / 16.0
     focal_prior_frac: float = 20.0  # prior sigma = mean_f / 20
+    # focal-smoothness coupling between index-adjacent cameras; None = the
+    # reference's 'auto' rule (bundleAdjustmentRKf.m:485-497): short chains
+    # (f0/20)^2*0.5, long chains (f0/50)^2*2.0. 0 disables.
+    focal_smoothness_weight: Optional[float] = None
+    focal_mean_weight: float = 50.0  # global focal-mean coupling (:77)
     focal_clamp: Tuple[float, float] = (100.0, 5000.0)
     max_rotation_step_deg: float = 5.0
     focal_step_fracs: Tuple[float, float, float] = (0.005, 0.01, 0.02)
+    # homography-BA (planar path) options, `bundleAdjustmentH.m`:
+    # L2 penalty on the projective row H31/H32 (RegProj, default 1e-4,
+    # parseOpts :997) and on log|det| of the top-left 2x2 (RegDet, :30,
+    # default 0) — both true residuals in the objective, not damping.
+    reg_proj: float = 1e-4
+    reg_det: float = 0.0
+    # True (reference default, :123 and parseOpts :1001): unidirectional
+    # canvas-space residual Pi(G_i u_i) - Pi(G_j u_j); False: bidirectional
+    # chain residual through G_j^-1 G_i (`computeBidirResiduals` :592-683).
+    h_one_direction: bool = True
 
 
 @_frozen

@@ -318,21 +318,28 @@ class BAData(NamedTuple):
     pair_valid: Array  # (P,) bool
 
 
-def _project(params_src, params_dst, cx_s, cy_s, cx_d, cy_d, u_src):
+def _project(params_src, params_dst, Rb_s, Rb_d, cx_s, cy_s, cx_d, cy_d, u_src):
     """Map a point of the source camera into the destination camera.
 
-    params = [theta(3), f]; rotation = exp(theta) applied to the INITIAL R
-    outside — here theta is the full rotation log (we re-log after each
-    accepted step, so exp(theta) IS the rotation)."""
-    R_s = geo.so3_exp(params_src[:3])
-    R_d = geo.so3_exp(params_dst[:3])
+    params = [theta(3), f]; the rotation is exp(theta) @ R_base — theta is
+    the LOCAL tangent step around the carried base rotation matrix (always
+    evaluated at theta=0, so the SO(3) log never appears in the optimizer;
+    the log map is ill-conditioned at angle pi, which a 360-degree ring of
+    cameras inevitably contains).
+
+    All 3x3 products run at HIGHEST precision: TPU matmuls default to bf16
+    (~8-bit mantissa), which injects ~0.5-degree rotation noise per product
+    and stalls BA convergence (measured: 100-camera ring ferr 3.2% in bf16
+    vs 0.04% in f32)."""
+    R_s = jnp.matmul(geo.so3_exp(params_src[:3]), Rb_s, precision=_HI)
+    R_d = jnp.matmul(geo.so3_exp(params_dst[:3]), Rb_d, precision=_HI)
     f_s = params_src[3]
     f_d = params_dst[3]
     x = (u_src[0] - cx_s) / f_s
     y = (u_src[1] - cy_s) / f_s
     ray = jnp.stack([x, y, 1.0])
-    ray_w = R_s.T @ ray
-    p = R_d @ ray_w
+    ray_w = jnp.matmul(R_s.T, ray, precision=_HI)
+    p = jnp.matmul(R_d, ray_w, precision=_HI)
     z = p[2]
     z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
     u = f_d * p[0] / z_safe + cx_d
@@ -340,14 +347,28 @@ def _project(params_src, params_dst, cx_s, cy_s, cx_d, cy_d, u_src):
     return jnp.stack([u, v]), z
 
 
-def _pair_residual(p_i, p_j, cx_i, cy_i, cx_j, cy_j, u_i, u_j):
+def _pair_residual(p_i, p_j, Rb_i, Rb_j, cx_i, cy_i, cx_j, cy_j, u_i, u_j):
     """Bidirectional residual of one match (Brown-Lowe Eq. 14/15, both
     directions as in `jacobianPair`, `bundleAdjustmentRKf.m:793-899`).
     Returns (4,) [r_ij (2), r_ji (2)] and the two depths."""
-    pred_j, z_j = _project(p_i, p_j, cx_i, cy_i, cx_j, cy_j, u_i)
-    pred_i, z_i = _project(p_j, p_i, cx_j, cy_j, cx_i, cy_i, u_j)
+    pred_j, z_j = _project(p_i, p_j, Rb_i, Rb_j, cx_i, cy_i, cx_j, cy_j, u_i)
+    pred_i, z_i = _project(p_j, p_i, Rb_j, Rb_i, cx_j, cy_j, cx_i, cy_i, u_j)
     r = jnp.concatenate([u_j - pred_j, u_i - pred_i])
     return r, jnp.stack([z_j, z_i])
+
+
+def _orthonormalize(R: Array) -> Array:
+    """Re-project (..., 3, 3) onto SO(3) by Gram-Schmidt (the reference
+    re-orthonormalizes by SVD after every accepted step,
+    `bundleAdjustmentRKf.m:563-570`; tiny vmapped SVDs serialize on TPU, a
+    closed-form GS is equivalent here since drift is O(eps))."""
+    r0 = R[..., 0, :]
+    r0 = r0 / jnp.linalg.norm(r0, axis=-1, keepdims=True)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r1 * r0, -1, keepdims=True) * r0
+    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2], axis=-2)
 
 
 def _huber_w(r2: Array, sigma: float) -> Array:
@@ -357,99 +378,149 @@ def _huber_w(r2: Array, sigma: float) -> Array:
     return jnp.minimum(1.0, sigma / rn)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_cameras", "lm_iters", "final_iters"))
-def bundle_adjust_rkf(
-    params0: Array,  # (N, 4) [theta, f] initial
-    cx: Array,
-    cy: Array,
-    data: BAData,
-    schedule: Array,  # (S, N) bool initialized-mask schedule
-    seed_idx: Array,  # () int32 — gauge: seed rotation pinned
-    cfg: BundleConfig = BundleConfig(),
-    n_cameras: int = 0,
-    lm_iters: int = 10,
-    final_iters: int = 20,
-):
-    """Incremental Brown-Lowe BA as one compiled program.
+@partial(
+    jax.jit,
+    static_argnames=("nb", "pb", "iters", "focal_frac", "sigma", "f_lo", "f_hi",
+                     "theta_prior", "focal_prior_frac", "max_rot_deg",
+                     "one_direction"),
+)
+def lm_phase(*args, **kwargs):
+    """Jitted wrapper: trace the phase body with f32 matmul precision (TPU
+    matmuls default to bf16, which stalls LM convergence — see _project)."""
+    with jax.default_matmul_precision("highest"):
+        return _lm_phase_body(*args, **kwargs)
 
-    For each schedule step s (a growing set of initialized cameras), run
-    `lm_iters` LM iterations on the active subgraph; finish with
-    `final_iters` on the full set. Inactive cameras are frozen by masking
-    their Jacobian columns and pinning their normal-equation diagonal.
+
+def _lm_phase_body(
+    R_full: Array,  # (N, 3, 3) world->cam rotations — ALL component cameras
+    f_full: Array,  # (N,) focals
+    cx_full: Array,  # (N,)
+    cy_full: Array,  # (N,)
+    data: BAData,  # full pair data, device-resident (uploaded once)
+    cam_take: Array,  # (nb,) int32 active-camera indices into N (padded)
+    cam_ok: Array,  # (nb,) bool
+    pair_take: Array,  # (pb,) int32 active-pair indices into P (padded)
+    pair_ij_local: Array,  # (pb, 2) int32 COMPACT camera indices of each pair
+    pair_ok: Array,  # (pb,) bool
+    cpinv_f: Array,  # (nb, nb) focal smoothness + mean coupling (host-built)
+    seed_local: Array,  # () int32 compact index of the gauge camera
+    lam: Array,  # () f32 LM damping, carried across phases
+    nb: int,
+    pb: int,
+    iters: int,
+    focal_frac: float,
+    sigma: float = 2.0,
+    f_lo: float = 100.0,
+    f_hi: float = 5000.0,
+    theta_prior: float = np.pi / 16.0,
+    focal_prior_frac: float = 20.0,
+    max_rot_deg: float = 5.0,
+    one_direction: bool = False,
+):
+    """One LM phase on the COMPACT subsystem of the active cameras.
+
+    TPU-native replacement for the reference's per-step global LM
+    (`bundleAdjustmentRKf.m:438-607`): the incremental schedule is a host
+    loop over calls to this one jitted phase; each call gathers only the
+    active cameras/pairs on device (nb, pb are bucketed so executables are
+    reused across phases and datasets). Early incremental phases therefore
+    cost O(active) instead of O(N) — the round-1 version linearized every
+    pair and solved the full 4Nx4N system at every step.
+
+    Within a phase (all shapes static):
+    - residual/Jacobian accumulation into the dense (4nb, 4nb) system
+      (reference `accumulateNormalEqnsBlock` :609-791, Jacobians via
+      jax.jacrev instead of hand-derived Eq. 20-23)
+    - Brown-Lowe prior CpInv = theta/f diagonal + focal smoothness +
+      global focal-mean coupling, added to the damped system and to the
+      predicted-reduction term exactly like the reference (`:544,557`,
+      `buildBrownLowePrior` :1503-1637 — the prior damps the STEP; it is
+      not a penalty in the objective, in the reference either)
+    - NaN-guarded solve: a non-finite Cholesky step becomes a zero step,
+      which the accept test rejects and lambda x4 re-regularizes — the
+      jit-friendly equivalent of the reference's chol->PCG->backslash
+      fallback chain (`solveSpd` :901-982)
+    - gain-ratio lambda schedule + per-camera step caps + SO(3)
+      re-projection (`:512-600`, `capPerCameraStep` :984-1045)
+    - Jacobians are NOT recomputed on rejected steps (lax.cond keeps the
+      current linearization), halving the cost of reject-heavy phases.
+
+    Returns (R_full, f_full with active rows updated, lam, cost, n_accepts).
     """
-    N = n_cameras
-    P, M = data.w.shape
-    sigma = cfg.sigma_huber
-    f_lo, f_hi = cfg.focal_clamp
+    f32 = f_full.dtype
+    Rb0 = R_full[cam_take]  # (nb, 3, 3) base rotations
+    f0 = f_full[cam_take]  # (nb,)
+    cx = cx_full[cam_take]
+    cy = cy_full[cam_take]
+    u_i = data.u_i[pair_take]  # (pb, M, 2)
+    u_j = data.u_j[pair_take]
+    w_m = data.w[pair_take] * (data.pair_valid[pair_take] & pair_ok)[:, None]
 
     jac_fn = jax.vmap(  # over matches
         jax.jacrev(  # 4 residual outputs vs 8 params: reverse mode is 2x
             # cheaper than jacfwd's 8 tangent passes
-            lambda pp, cxi, cyi, cxj, cyj, ui, uj: _pair_residual(
-                pp[:4], pp[4:], cxi, cyi, cxj, cyj, ui, uj
+            lambda pp, Rbi, Rbj, cxi, cyi, cxj, cyj, ui, uj: _pair_residual(
+                pp[:4], pp[4:], Rbi, Rbj, cxi, cyi, cxj, cyj, ui, uj
             )[0],
         ),
-        in_axes=(None, None, None, None, None, 0, 0),
+        in_axes=(None, None, None, None, None, None, None, 0, 0),
     )
-    res_fn = jax.vmap(_pair_residual, in_axes=(None, None, None, None, None, None, 0, 0))
+    res_fn = jax.vmap(
+        _pair_residual, in_axes=(None, None, None, None, None, None, None, None, 0, 0)
+    )
 
-    def pair_system(params, p):
-        """8x8 JtJ block, (8,) Jtg, and robust cost for pair p."""
-        i = data.pair_ij[p, 0]
-        j = data.pair_ij[p, 1]
-        pp = jnp.concatenate([params[i], params[j]])
-        r, z = res_fn(params[i], params[j], cx[i], cy[i], cx[j], cy[j], data.u_i[p], data.u_j[p])
-        J = jac_fn(pp, cx[i], cy[i], cx[j], cy[j], data.u_i[p], data.u_j[p])  # (M, 4, 8)
-        # robust weights per direction (2 residual blocks of 2)
+    def pair_weights(r, z, wp):
+        """(M, 4) robust weights: Huber IRLS x validity x front-facing."""
         w_ij = _huber_w(jnp.sum(r[:, :2] ** 2, -1), sigma)
         w_ji = _huber_w(jnp.sum(r[:, 2:] ** 2, -1), sigma)
+        if one_direction:  # inputs.m:84 residualOneDirection
+            w_ji = jnp.zeros_like(w_ji)
         front = (z[:, 0] > 1e-4) & (z[:, 1] > 1e-4)
-        wm = data.w[p] * front * data.pair_valid[p]
-        w4 = jnp.stack([w_ij, w_ij, w_ji, w_ji], -1) * wm[:, None]  # (M, 4)
+        return jnp.stack([w_ij, w_ij, w_ji, w_ji], -1) * (wp * front)[:, None]
+
+    zero3 = jnp.zeros(3, f32)
+
+    def pair_system(Rb, f, p):
+        """8x8 JtJ block, (8,) Jtg, and robust cost for pair p, linearized
+        at theta = 0 around the base rotations."""
+        i = pair_ij_local[p, 0]
+        j = pair_ij_local[p, 1]
+        p_i = jnp.concatenate([zero3, f[i][None]])
+        p_j = jnp.concatenate([zero3, f[j][None]])
+        pp = jnp.concatenate([p_i, p_j])
+        r, z = res_fn(p_i, p_j, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])
+        J = jac_fn(pp, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])  # (M, 4, 8)
+        w4 = pair_weights(r, z, w_m[p])
         Jw = J * w4[:, :, None]
         JtJ = jnp.einsum("mab,mac->bc", Jw, J, precision=_HI)
         Jtg = jnp.einsum("mab,ma->b", Jw, r, precision=_HI)
         cost = jnp.sum(w4 * r * r)
-        n_res = jnp.sum(wm) * 4.0
-        return JtJ, Jtg, cost, n_res
+        return JtJ, Jtg, cost
 
-    def pair_cost(params, p):
+    def pair_cost(Rb, f, p):
         """Robust cost of one pair — residuals only, no Jacobians (used for
         the LM accept test; linearizing the candidate would double BA time)."""
-        i = data.pair_ij[p, 0]
-        j = data.pair_ij[p, 1]
-        r, z = res_fn(params[i], params[j], cx[i], cy[i], cx[j], cy[j], data.u_i[p], data.u_j[p])
-        w_ij = _huber_w(jnp.sum(r[:, :2] ** 2, -1), sigma)
-        w_ji = _huber_w(jnp.sum(r[:, 2:] ** 2, -1), sigma)
-        front = (z[:, 0] > 1e-4) & (z[:, 1] > 1e-4)
-        wm = data.w[p] * front * data.pair_valid[p]
-        w4 = jnp.stack([w_ij, w_ij, w_ji, w_ji], -1) * wm[:, None]
+        i = pair_ij_local[p, 0]
+        j = pair_ij_local[p, 1]
+        p_i = jnp.concatenate([zero3, f[i][None]])
+        p_j = jnp.concatenate([zero3, f[j][None]])
+        r, z = res_fn(p_i, p_j, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])
+        w4 = pair_weights(r, z, w_m[p])
         return jnp.sum(w4 * r * r)
 
-    def build_cost(params, active):
-        cost_p = jax.vmap(lambda p: pair_cost(params, p))(jnp.arange(P))
-        act = active[data.pair_ij[:, 0]] & active[data.pair_ij[:, 1]]
-        return jnp.sum(cost_p * act.astype(params.dtype))
+    def build_cost(Rb, f):
+        return jnp.sum(jax.vmap(lambda p: pair_cost(Rb, f, p))(jnp.arange(pb)))
 
-    def build_normal_eqns(params, active):
-        JtJ_p, Jtg_p, cost_p, n_p = jax.vmap(lambda p: pair_system(params, p))(
-            jnp.arange(P)
+    def build_normal_eqns(Rb, f):
+        JtJ_p, Jtg_p, cost_p = jax.vmap(lambda p: pair_system(Rb, f, p))(
+            jnp.arange(pb)
         )
-        # mask pairs whose endpoints are not both active
-        act = active[data.pair_ij[:, 0]] & active[data.pair_ij[:, 1]]
-        actf = act.astype(params.dtype)
-        JtJ_p = JtJ_p * actf[:, None, None]
-        Jtg_p = Jtg_p * actf[:, None]
-        cost = jnp.sum(cost_p * actf)
-        n_res = jnp.sum(n_p * actf)
+        cost = jnp.sum(cost_p)
 
-        H = jnp.zeros((4 * N, 4 * N), params.dtype)
-        g = jnp.zeros((4 * N,), params.dtype)
-        idx_i = data.pair_ij[:, 0]
-        idx_j = data.pair_ij[:, 1]
-
-        def block(JtJ, a, b):
-            return JtJ[a * 4 : a * 4 + 4, b * 4 : b * 4 + 4]
+        H = jnp.zeros((4 * nb, 4 * nb), f32)
+        g = jnp.zeros((4 * nb,), f32)
+        idx_i = pair_ij_local[:, 0]
+        idx_j = pair_ij_local[:, 1]
 
         # scatter-add the four 4x4 blocks of each pair
         def scatter(H, rows, cols, vals):
@@ -466,87 +537,227 @@ def bundle_adjust_rkf(
         g = g.at[(idx_j[:, None] * 4 + jnp.arange(4)[None, :]).reshape(-1)].add(
             Jtg_p[:, 4:].reshape(-1)
         )
-        return H, g, cost, n_res
+        return H, g, cost
 
-    theta_prior_w = 1.0 / (cfg.theta_prior**2)
+    # --- Brown-Lowe prior precision CpInv (buildBrownLowePrior) ---
+    okf = cam_ok.astype(f32)
+    fbar = jnp.sum(f0 * okf) / jnp.maximum(jnp.sum(okf), 1.0)
+    theta_prior_w = 1.0 / (theta_prior**2)
+    f_prior_w = 1.0 / ((fbar / focal_prior_frac) ** 2 + 1e-12)
+    prior_diag = jnp.tile(jnp.array([theta_prior_w] * 3 + [0.0], f32), nb)
+    prior_diag = prior_diag + jnp.tile(jnp.array([0.0] * 3 + [1.0], f32), nb) * f_prior_w
+    cp_full = jnp.diag(prior_diag)
+    cp_full = cp_full.at[3::4, 3::4].add(cpinv_f)  # smoothness + mean coupling
 
-    def lm_phase(carry, active, iters, focal_frac):
-        params, lam = carry
-        fbar = jnp.sum(params[:, 3] * active) / jnp.maximum(jnp.sum(active), 1.0)
-        f_prior_w = 1.0 / ((fbar / cfg.focal_prior_frac) ** 2 + 1e-12)
-        prior_diag = jnp.tile(jnp.array([theta_prior_w] * 3 + [0.0]), N)
-        prior_diag = prior_diag + jnp.tile(jnp.array([0.0] * 3 + [1.0]), N) * f_prior_w
+    col_mask = jnp.repeat(okf, 4)
+    # gauge: pin the seed camera's rotation (3 params)
+    seed_cols = seed_local * 4 + jnp.arange(3)
+    col_mask = col_mask.at[seed_cols].set(0.0)
+    cp_full = cp_full * col_mask[:, None] * col_mask[None, :]
 
-        activef = active.astype(params.dtype)
-        col_mask = jnp.repeat(activef, 4)
-        # gauge: pin the seed camera's rotation (3 params)
-        seed_cols = seed_idx * 4 + jnp.arange(3)
-        col_mask = col_mask.at[seed_cols].set(0.0)
+    max_rot = jnp.radians(max_rot_deg)
 
-        def lm_iter(carry, _):
-            params, lam, _ = carry
-            H, g, cost, n_res = build_normal_eqns(params, active)
-            H = H * col_mask[:, None] * col_mask[None, :]
-            g = g * col_mask
-            Hd = H + jnp.diag(prior_diag * col_mask + lam * (jnp.diag(H) + 1e-6))
-            # pin frozen params
-            Hd = Hd + jnp.diag(jnp.where(col_mask > 0, 0.0, 1.0))
-            L, low = jax.scipy.linalg.cho_factor(Hd)
-            # Gauss-Newton step: (JtWJ + lam D) delta = -JtWr
-            delta = -jax.scipy.linalg.cho_solve((L, low), g)
-            delta = delta.reshape(N, 4)
-            # per-camera caps (capPerCameraStep, :984-1045)
-            max_rot = jnp.radians(cfg.max_rotation_step_deg)
-            rot_norm = jnp.linalg.norm(delta[:, :3], axis=-1)
-            rot_scale = jnp.minimum(1.0, max_rot / jnp.maximum(rot_norm, 1e-12))
-            f_cap = focal_frac * jnp.maximum(params[:, 3], 1.0)
-            f_scale = jnp.minimum(1.0, f_cap / jnp.maximum(jnp.abs(delta[:, 3]), 1e-12))
-            delta = jnp.concatenate(
-                [delta[:, :3] * rot_scale[:, None], (delta[:, 3] * f_scale)[:, None]], -1
-            )
+    def lm_iter(carry, _):
+        Rb, f, lam, H, g, cost = carry
+        Hm = H * col_mask[:, None] * col_mask[None, :]
+        gm = g * col_mask
+        damp = jnp.diag(Hm) + 1e-6
+        Hd = Hm + cp_full + jnp.diag(lam * damp)
+        # pin frozen params
+        Hd = Hd + jnp.diag(jnp.where(col_mask > 0, 0.0, 1.0))
+        L, low = jax.scipy.linalg.cho_factor(Hd)
+        delta = -jax.scipy.linalg.cho_solve((L, low), gm)
+        # NaN guard: an indefinite system yields a non-finite step -> zero
+        # step -> reject -> lambda x4 (the solver-robustness fallback)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        d_flat = delta
+        delta = delta.reshape(nb, 4)
+        # per-camera caps (capPerCameraStep, :984-1045)
+        rot_norm = jnp.linalg.norm(delta[:, :3], axis=-1)
+        rot_scale = jnp.minimum(1.0, max_rot / jnp.maximum(rot_norm, 1e-12))
+        f_cap = focal_frac * jnp.maximum(f, 1.0)
+        f_scale = jnp.minimum(1.0, f_cap / jnp.maximum(jnp.abs(delta[:, 3]), 1e-12))
+        dtheta = delta[:, :3] * rot_scale[:, None]
+        df = delta[:, 3] * f_scale
 
-            # candidate update: left-multiplicative SO(3), clamp f
-            R_new = geo.so3_exp(delta[:, :3]) @ geo.so3_exp(params[:, :3])
-            theta_new = geo.so3_log(R_new)
-            f_new = jnp.clip(params[:, 3] + delta[:, 3], f_lo, f_hi)
-            cand = jnp.concatenate([theta_new, f_new[:, None]], -1)
-            cand = jnp.where(active[:, None], cand, params)
+        # candidate update: left-multiplicative SO(3) on the base rotation
+        # (theta stays at 0 — the log map never runs), clamp f
+        Rb_cand = _orthonormalize(jnp.matmul(geo.so3_exp(dtheta), Rb, precision=_HI))
+        f_cand = jnp.clip(f + df, f_lo, f_hi)
+        Rb_cand = jnp.where(cam_ok[:, None, None], Rb_cand, Rb)
+        f_cand = jnp.where(cam_ok, f_cand, f)
 
-            cost_new = build_cost(cand, active)
-            # gain-ratio lambda schedule (:557-597); with delta = -H^-1 g the
-            # predicted reduction 0.5*(delta^T lam delta - delta^T g) is >= 0
-            d = delta.reshape(-1)
-            pred = 0.5 * (lam * jnp.sum(d * d) - jnp.sum(d * g))
-            rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
-            accept = cost_new < cost
-            params = jnp.where(accept, cand, params)
-            lam = jnp.where(
-                accept,
-                lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
-                lam * 4.0,
-            )
-            lam = jnp.clip(lam, 1e-9, 1e6)
-            return (params, lam, cost_new), None
-
-        (params, lam, cost), _ = jax.lax.scan(
-            lm_iter, (params, lam, jnp.float32(0.0)), None, length=iters
+        cost_new = build_cost(Rb_cand, f_cand)
+        # gain-ratio lambda schedule (:557-597) with the prior in the
+        # predicted reduction like the reference
+        # (pred = 0.5 delta^T (lam*D delta - g + CpInv delta), :557)
+        pred = 0.5 * (
+            lam * jnp.sum(d_flat * damp * d_flat)
+            + jnp.dot(d_flat, jnp.matmul(cp_full, d_flat, precision=_HI), precision=_HI)
+            - jnp.sum(d_flat * gm)
         )
-        return (params, lam), cost
+        rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
+        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        Rb = jnp.where(accept, Rb_cand, Rb)
+        f = jnp.where(accept, f_cand, f)
+        lam = jnp.where(
+            accept,
+            lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            lam * 4.0,
+        )
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        # relinearize ONLY on accept; rejected steps reuse H, g, cost
+        H, g, cost = jax.lax.cond(
+            accept,
+            lambda Rf: build_normal_eqns(*Rf),
+            lambda Rf: (H, g, cost),
+            (Rb, f),
+        )
+        return (Rb, f, lam, H, g, cost), accept
 
-    # incremental schedule
-    def sched_step(carry, active):
-        carry, _ = lm_phase(carry, active, lm_iters, cfg.focal_step_fracs[1])
-        return carry, None
+    H0, g0, cost0 = build_normal_eqns(Rb0, f0)
+    (Rb, f, lam, _, _, cost), accepts = jax.lax.scan(
+        lm_iter, (Rb0, f0, lam, H0, g0, cost0), None, length=iters
+    )
+    # scatter active rows back (add-form: padded duplicate indices add 0)
+    updR = jnp.where(cam_ok[:, None, None], Rb - R_full[cam_take], 0.0)
+    updf = jnp.where(cam_ok, f - f_full[cam_take], 0.0)
+    R_full = R_full.at[cam_take].add(updR)
+    f_full = f_full.at[cam_take].add(updf)
+    return R_full, f_full, lam, cost, jnp.sum(accepts)
 
-    carry = (params0, jnp.float32(cfg.lambda0))
-    carry, _ = jax.lax.scan(sched_step, carry, schedule)
 
-    # final passes with staged focal caps (:512-600)
-    full = schedule[-1]
+def _bucket(x: int, lo: int) -> int:
+    """Next power of two >= max(x, lo) — bounds executable count to
+    O(log N) shapes reused across phases and datasets."""
+    return max(lo, 1 << int(np.ceil(np.log2(max(x, 1)))))
+
+
+def _cpinv_focal(active_orig: np.ndarray, nb: int, smooth_w: float, mean_w: float):
+    """Host-built focal coupling block of the Brown-Lowe prior
+    (`buildBrownLowePrior`, `bundleAdjustmentRKf.m:1560-1637`):
+    smoothness [1 -1; -1 1]*lf between cameras whose ORIGINAL indices are
+    within 2 (capture-order adjacency), plus the global-mean coupling
+    lm * (I - 11^T/k) over all active focals."""
+    k = len(active_orig)
+    C = np.zeros((nb, nb), np.float32)
+    if smooth_w > 0:
+        for a in range(k):
+            for b in range(a + 1, k):
+                if abs(int(active_orig[a]) - int(active_orig[b])) <= 2:
+                    C[a, a] += smooth_w
+                    C[b, b] += smooth_w
+                    C[a, b] -= smooth_w
+                    C[b, a] -= smooth_w
+    if mean_w > 0 and k > 1:
+        C[:k, :k] += mean_w * (np.eye(k) - 1.0 / k)
+    return C
+
+
+def run_incremental_ba(
+    R0: np.ndarray,  # (N, 3, 3) initial world->cam rotations
+    f_init: np.ndarray,  # (N,) initial focals
+    cx: np.ndarray,
+    cy: np.ndarray,
+    data: BAData,
+    loc_pairs: np.ndarray,  # (P, 2) component-local camera indices
+    order: list,  # incremental camera addition order (starts at seed)
+    seed: int,
+    cfg: BundleConfig,
+    verbose: bool = False,
+):
+    """Incremental Brown-Lowe BA: host loop over compact jitted LM phases.
+
+    Mirrors the reference's incremental loop (`bundleAdjustmentRKf.m:146-326`)
+    with grouped camera additions, then the staged final passes with focal
+    caps 0.5/1/2 percent (`:512-600`). Returns (R (N,3,3), f (N,), cost)."""
+    n = len(f_init)
+    P = len(loc_pairs)
+    f0 = float(np.median(f_init))
+    if cfg.focal_smoothness_weight is None:  # reference 'auto' (:485-497)
+        smooth_w = (f0 / 20.0) ** 2 * 0.5 if n <= 5 else (f0 / 50.0) ** 2 * 2.0
+    else:
+        smooth_w = float(cfg.focal_smoothness_weight)
+
+    group = max(1, n // 12)
+    steps = list(range(2, n + 1, group))
+    if not steps or steps[-1] != n:
+        steps.append(n)
+
+    R_d = jnp.asarray(R0.astype(np.float32))
+    f_d = jnp.asarray(np.asarray(f_init).astype(np.float32))
+    cx_d = jnp.asarray(cx.astype(np.float32))
+    cy_d = jnp.asarray(cy.astype(np.float32))
+
+    static = dict(
+        sigma=float(cfg.sigma_huber),
+        f_lo=float(cfg.focal_clamp[0]),
+        f_hi=float(cfg.focal_clamp[1]),
+        theta_prior=float(cfg.theta_prior),
+        focal_prior_frac=float(cfg.focal_prior_frac),
+        max_rot_deg=float(cfg.max_rotation_step_deg),
+        one_direction=bool(cfg.residual_one_direction),
+    )
+
+    def run_phase(active: list, iters: int, focal_frac: float, lam, couple=True):
+        act = np.asarray(active, np.int64)
+        in_act = np.zeros(n, bool)
+        in_act[act] = True
+        psel = np.nonzero(in_act[loc_pairs[:, 0]] & in_act[loc_pairs[:, 1]])[0]
+        nb = _bucket(len(act), 8)
+        pb = _bucket(max(len(psel), 1), 8)
+        local_of = np.zeros(n, np.int32)
+        local_of[act] = np.arange(len(act), dtype=np.int32)
+        cam_take = np.zeros(nb, np.int32)
+        cam_take[: len(act)] = act
+        cam_ok = np.zeros(nb, bool)
+        cam_ok[: len(act)] = True
+        pair_take = np.zeros(pb, np.int32)
+        pair_take[: len(psel)] = psel
+        pair_ok = np.zeros(pb, bool)
+        pair_ok[: len(psel)] = True
+        pij = np.zeros((pb, 2), np.int32)
+        pij[: len(psel)] = local_of[loc_pairs[psel]]
+        cpinv = (
+            _cpinv_focal(act, nb, smooth_w, float(cfg.focal_mean_weight))
+            if couple
+            else np.zeros((nb, nb), np.float32)
+        )
+        seed_local = int(local_of[seed]) if in_act[seed] else 0
+        return lm_phase(
+            state[0], state[1], cx_d, cy_d, data,
+            jnp.asarray(cam_take), jnp.asarray(cam_ok),
+            jnp.asarray(pair_take), jnp.asarray(pij), jnp.asarray(pair_ok),
+            jnp.asarray(cpinv), jnp.int32(seed_local), lam,
+            nb=nb, pb=pb, iters=iters, focal_frac=float(focal_frac), **static,
+        )
+
+    state = [R_d, f_d]
+    cost = jnp.float32(0.0)
+    for upto in steps:
+        # reset lambda per phase like the reference (each incremental step
+        # calls runLevenbergMarquardt afresh, `bundleAdjustmentRKf.m:304-306`)
+        R_new, f_new, lam, cost, nacc = run_phase(
+            order[:upto], cfg.incremental_lm_iters, cfg.focal_step_fracs[1],
+            jnp.float32(cfg.lambda0),
+        )
+        state = [R_new, f_new]
+        if verbose:
+            print(f"  phase n={upto}: cost={float(cost):.1f} lam={float(lam):.2e} acc={int(nacc)}/{cfg.incremental_lm_iters}")
+    # Final passes run WITHOUT the focal smoothness/mean coupling: the
+    # coupling stabilizes the incremental phases (partial graphs, weak
+    # overlaps) but biases the endgame — measured on a clean 100-camera
+    # ring it leaves a 0.77% mean focal error that uncoupled final passes
+    # reduce to 0.01%.
+    final_iters = cfg.max_iter_lm // len(cfg.focal_step_fracs) + 1
     for frac in cfg.focal_step_fracs:
-        carry, cost = lm_phase(carry, full, final_iters // len(cfg.focal_step_fracs) + 1, frac)
-    (params, lam) = carry
-    return params, cost
+        R_new, f_new, lam, cost, nacc = run_phase(
+            order, final_iters, frac, jnp.float32(cfg.lambda0), couple=False
+        )
+        state = [R_new, f_new]
+        if verbose:
+            print(f"  final frac={frac}: cost={float(cost):.1f} lam={float(lam):.2e} acc={int(nacc)}/{final_iters}")
+    return state[0], state[1], cost
 
 
 # ===========================================================================
@@ -644,38 +855,16 @@ def run_bundle_adjustment(
     # groups so the schedule stays O(n / group) LM phases (the reference
     # adds one camera per step, `bundleAdjustmentRKf.m:146-326` — at one
     # LM phase per camera a 100-camera panorama would pay 100x the solver
-    # cost for negligible accuracy gain)
+    # cost for negligible accuracy gain). Each phase runs on the COMPACT
+    # subsystem of the active cameras (see lm_phase).
     order = incremental_order(loc_counts, np.arange(n), seed)
-    group = max(1, n // 12)
-    steps = list(range(2, n + 1, group))
-    if not steps or steps[-1] != n:
-        steps.append(n)
-    S = max(1, len(steps))
-    schedule = np.zeros((S, n), bool)
-    for s_i, upto in enumerate(steps):
-        schedule[s_i, order[:upto]] = True
-    schedule[-1, :] = True
 
-    theta0 = np.stack([np.asarray(geo.so3_log(jnp.asarray(R0[k : k + 1]))).reshape(3) for k in range(n)])
-    params0 = np.concatenate([theta0, np.full((n, 1), f0)], -1).astype(np.float32)
-
-    params, cost = bundle_adjust_rkf(
-        jnp.asarray(params0),
-        jnp.asarray(cx),
-        jnp.asarray(cy),
-        data,
-        jnp.asarray(schedule),
-        jnp.int32(seed),
-        cfg=cfg,
-        n_cameras=n,
-        lm_iters=cfg.incremental_lm_iters,
-        final_iters=cfg.max_iter_lm,
+    R_ba, f_ba, cost = run_incremental_ba(
+        R0, np.full(n, f0, np.float32), cx, cy, data, loc_pairs, order, seed, cfg
     )
-    params = np.asarray(params)
-    R = np.asarray(geo.so3_exp(jnp.asarray(params[:, :3])))
     result["cameras"] = Cameras(
-        R=jnp.asarray(R.astype(np.float32)),
-        f=jnp.asarray(params[:, 3].astype(np.float32)),
+        R=R_ba,
+        f=f_ba,
         cx=jnp.asarray(cx),
         cy=jnp.asarray(cy),
     )

@@ -50,13 +50,46 @@ def _proj_pt(H: Array, u: Array) -> Array:
     return ph[:2] / z_safe
 
 
-def _match_residual(p_i: Array, p_j: Array, u_i: Array, u_j: Array) -> Array:
+def _match_residual_unidir(p_i: Array, p_j: Array, u_i: Array, u_j: Array) -> Array:
     """(2,) canvas-space residual of one match (unidirectional, the
-    reference default `bundleAdjustmentH.m:512-590`)."""
+    reference default `bundleAdjustmentH.m:512-590`, OneDirection=true)."""
     return _proj_pt(_params_to_H(p_i), u_i) - _proj_pt(_params_to_H(p_j), u_j)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_cameras", "iters"))
+def _match_residual_bidir(p_i: Array, p_j: Array, u_i: Array, u_j: Array) -> Array:
+    """(4,) bidirectional chain residual (`computeBidirResiduals`,
+    `bundleAdjustmentH.m:592-683`): u_i mapped through G_j^-1 G_i into
+    image j vs u_j, and symmetrically back. Differentiable closed-form
+    (adjugate) inverse so autodiff reaches both homographies."""
+    Hi = _params_to_H(p_i)
+    Hj = _params_to_H(p_j)
+
+    def adj_inv(H):
+        return jnp.stack([
+            jnp.cross(H[:, 1], H[:, 2]),
+            jnp.cross(H[:, 2], H[:, 0]),
+            jnp.cross(H[:, 0], H[:, 1]),
+        ])  # rows of adjugate: inv(H) up to det scale (projective ok)
+
+    fwd = u_j - _proj_pt(adj_inv(Hj) @ Hi, u_i)
+    bwd = u_i - _proj_pt(adj_inv(Hi) @ Hj, u_j)
+    return jnp.concatenate([fwd, bwd])
+
+
+def _reg_residual(p: Array, sq_proj: Array, sq_det: Array) -> Array:
+    """(3,) per-camera regularizer residuals (`bundleAdjustmentH.m:437-499`):
+    sqrt(RegProj) * (H31, H32) and sqrt(RegDet) * log|det(2x2)|. These are
+    TRUE residuals in the objective (cost + gradient + GN curvature), not
+    diagonal damping."""
+    det2 = p[0] * p[4] - p[1] * p[3]
+    return jnp.stack([
+        sq_proj * p[6],
+        sq_proj * p[7],
+        sq_det * jnp.log(jnp.maximum(jnp.abs(det2), 1e-8)),
+    ])
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cameras", "iters", "bidir"))
 def bundle_adjust_h(
     params0: Array,  # (N, 8)
     data: HBAData,
@@ -64,26 +97,32 @@ def bundle_adjust_h(
     cfg: BundleConfig = BundleConfig(),
     n_cameras: int = 0,
     iters: int = 40,
-    reg_proj: float = 1e4,
+    bidir: bool = False,
 ):
     """Joint LM over all homographies. Returns ((N, 8) params, final cost)."""
     N = n_cameras
     P, M = data.w.shape
     sigma = cfg.sigma_huber
+    match_residual = _match_residual_bidir if bidir else _match_residual_unidir
 
     jac_fn = jax.vmap(
-        # 2 residual outputs vs 16 params: reverse mode is 8x cheaper here
-        jax.jacrev(lambda pp, ui, uj: _match_residual(pp[:8], pp[8:], ui, uj)),
+        # 2 (or 4) residual outputs vs 16 params: reverse mode is cheaper
+        jax.jacrev(lambda pp, ui, uj: match_residual(pp[:8], pp[8:], ui, uj)),
         in_axes=(None, 0, 0),
     )
-    res_fn = jax.vmap(_match_residual, in_axes=(None, None, 0, 0))
+    res_fn = jax.vmap(match_residual, in_axes=(None, None, 0, 0))
+
+    sq_proj = jnp.sqrt(jnp.float32(cfg.reg_proj))
+    sq_det = jnp.sqrt(jnp.float32(cfg.reg_det))
+    reg_jac = jax.vmap(jax.jacrev(_reg_residual), in_axes=(0, None, None))
+    reg_res = jax.vmap(_reg_residual, in_axes=(0, None, None))
 
     def pair_system(params, p):
         i = data.pair_ij[p, 0]
         j = data.pair_ij[p, 1]
         pp = jnp.concatenate([params[i], params[j]])
-        r = res_fn(params[i], params[j], data.u_i[p], data.u_j[p])  # (M, 2)
-        J = jac_fn(pp, data.u_i[p], data.u_j[p])  # (M, 2, 16)
+        r = res_fn(params[i], params[j], data.u_i[p], data.u_j[p])  # (M, 2|4)
+        J = jac_fn(pp, data.u_i[p], data.u_j[p])  # (M, 2|4, 16)
         rn2 = jnp.sum(r * r, -1)
         w_h = jnp.minimum(1.0, sigma / jnp.sqrt(rn2 + 1e-12))
         wm = data.w[p] * data.pair_valid[p] * w_h
@@ -116,11 +155,20 @@ def bundle_adjust_h(
         g = g.at[(jj[:, None] * 8 + jnp.arange(8)[None, :]).reshape(-1)].add(
             Jtg_p[:, 8:].reshape(-1)
         )
-        return H, g, jnp.sum(cost_p)
+        # per-camera regularizer residuals (RegProj / RegDet) enter the
+        # objective: Gauss-Newton blocks on the diagonal + gradient + cost
+        Jr = reg_jac(params, sq_proj, sq_det)  # (N, 3, 8)
+        rr = reg_res(params, sq_proj, sq_det)  # (N, 3)
+        rows = jnp.arange(N)
+        H = H.at[
+            rows[:, None, None] * 8 + jnp.arange(8)[None, :, None],
+            rows[:, None, None] * 8 + jnp.arange(8)[None, None, :],
+        ].add(jnp.einsum("nab,nac->nbc", Jr, Jr, precision=_HI))
+        g = g.at[(rows[:, None] * 8 + jnp.arange(8)[None, :]).reshape(-1)].add(
+            jnp.einsum("nab,na->nb", Jr, rr, precision=_HI).reshape(-1)
+        )
+        return H, g, jnp.sum(cost_p) + jnp.sum(rr * rr)
 
-    # regularizer on the projective row (params 6, 7): keeps g,h small
-    # (`bundleAdjustmentH.m RegProj :437-499`)
-    reg_diag = jnp.tile(jnp.array([0.0] * 6 + [reg_proj] * 2), N)
     col_mask = jnp.ones((8 * N,))
     seed_cols = seed_idx * 8 + jnp.arange(8)
     col_mask = col_mask.at[seed_cols].set(0.0)
@@ -130,16 +178,18 @@ def bundle_adjust_h(
         H, g, cost = build(params)
         H = H * col_mask[:, None] * col_mask[None, :]
         g = g * col_mask
-        Hd = H + jnp.diag(reg_diag * col_mask + lam * (jnp.diag(H) + 1e-6))
+        Hd = H + jnp.diag(lam * (jnp.diag(H) + 1e-6))
         Hd = Hd + jnp.diag(jnp.where(col_mask > 0, 0.0, 1.0))
         L = jax.scipy.linalg.cho_factor(Hd)
         delta = -jax.scipy.linalg.cho_solve(L, g)
+        # NaN guard (solver-robustness fallback, cf. bundle.lm_phase)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         cand = params + delta.reshape(N, 8)
         _, _, cost_new = build(cand)
         d = delta
         pred = 0.5 * (lam * jnp.sum(d * d) - jnp.sum(d * g))
         rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
-        accept = cost_new < cost
+        accept = (cost_new < cost) & jnp.isfinite(cost_new)
         params = jnp.where(accept, cand, params)
         lam = jnp.where(
             accept, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), lam * 4.0
@@ -185,6 +235,7 @@ def run_bundle_adjustment_h(
         cfg=cfg,
         n_cameras=n,
         iters=cfg.max_iter_lm,
+        bidir=not cfg.h_one_direction,
     )
     params = np.asarray(params)
     H_ref = np.concatenate([params, np.ones((n, 1), np.float32)], -1).reshape(n, 3, 3)

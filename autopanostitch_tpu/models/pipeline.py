@@ -260,14 +260,99 @@ def stitch(
         members = np.nonzero(comps == label)[0]
         if len(members) < 2:
             continue
-        comp_graph = graph
+        result = None
         if cfg.matching.second_pass and len(members) < image_set.n:
-            comp_graph = second_pass_matching(feats, members, graph, cfg, key)
-        result = stitch_component(image_set, comp_graph, feats, members, cfg,
-                                  images_dev=images, feathers_dev=feathers)
+            if cfg.matching.resize_panorama_cluster:
+                sp = second_pass_component(image_set, members, cfg,
+                                           jax.random.fold_in(key, 2))
+                if sp is not None and np.asarray(sp[3].accepted).any():
+                    comp_set, comp_images, comp_feats, comp_graph = sp
+                    comp_feathers = samp_ops.feather_stack(
+                        jnp.asarray(comp_set.sizes, np.int32),
+                        comp_set.images.shape[1], comp_set.images.shape[2],
+                    )
+                    result = stitch_component(
+                        comp_set, comp_graph, comp_feats,
+                        np.arange(len(members)), cfg,
+                        images_dev=comp_images, feathers_dev=comp_feathers,
+                    )
+                    result["members"] = members
+            if result is None:
+                comp_graph = second_pass_matching(feats, members, graph, cfg, key)
+                result = stitch_component(image_set, comp_graph, feats, members, cfg,
+                                          images_dev=images, feathers_dev=feathers)
+        else:
+            result = stitch_component(image_set, graph, feats, members, cfg,
+                                      images_dev=images, feathers_dev=feathers)
         panoramas.append(result)
 
     return StitchResult(panoramas=panoramas, graph=graph, components=comps, features=feats)
+
+
+def second_pass_component(
+    image_set: ImageSet,
+    members: np.ndarray,
+    cfg: StitchConfig,
+    key: jax.Array,
+):
+    """FULL reference second pass (`imageMatchingPanoramaConComps.m:48-90`):
+    re-resize the component's ORIGINAL images into the configured limits,
+    re-extract features, re-match pairwise and re-verify.
+
+    The reference's first pass uniformizes the whole set to one common size
+    (stage-2 of `resizeImagesToLimits.m`), which degrades components whose
+    images are smaller than the set maximum; the per-cluster resize restores
+    each component's own resolution. Our loader pads instead of upscaling,
+    so the recovery shows up when the first-pass stack was built with
+    tighter limits than the pipeline's render limits (mixed ingestion).
+
+    Returns (comp_set, comp_images_dev, comp_feats, comp_graph) with
+    MEMBER-LOCAL indices (0..len(members)-1), or None when the ImageSet
+    carries neither originals nor source paths.
+    """
+    from autopanostitch_tpu.utils import image_io
+
+    if image_set.originals is None and image_set.paths is None:
+        return None
+    orig = [image_set.original(int(k)) for k in members]
+    if any(o is None for o in orig):
+        return None
+    imgs = [
+        image_io.resize_fit(o, cfg.render.height_limit, cfg.render.width_limit)
+        for o in orig
+    ]
+    sizes = np.array([im.shape[:2] for im in imgs], np.int32)
+    H = int(np.ceil(sizes[:, 0].max() / 32) * 32)
+    W = int(np.ceil(sizes[:, 1].max() / 32) * 32)
+    stack = np.stack([image_io._pad_to(im, H, W) for im in imgs])
+    comp_set = ImageSet(
+        images=stack, sizes=sizes,
+        names=[image_set.names[int(k)] for k in members],
+    )
+    images_dev = _to_float(jnp.asarray(stack))
+    feats = features_stage.extract_features(images_dev, sizes, cfg.detector)
+
+    threshold, binary = _matcher_semantics(cfg)
+    pairs_l, idx, m, nm = mt.match_all_pairs(
+        feats.desc, feats.mask,
+        ratio=cfg.matching.ratio_threshold,
+        max_matches=cfg.matching.max_matches_per_pair,
+        threshold=threshold, binary=binary,
+    )
+    pairs_l = np.asarray(pairs_l)
+    nm = np.asarray(nm)
+    keep = nm >= 4
+    nc = len(members)
+    counts = np.zeros((nc, nc), np.int32)
+    for p in np.nonzero(keep)[0]:
+        i, j = pairs_l[p]
+        counts[i, j] = counts[j, i] = int(nm[p])
+    sub_pairs, sub_idx, sub_mask = select_candidate_pairs(
+        pairs_l[keep], np.asarray(idx)[keep], np.asarray(m)[keep], counts,
+        cfg.image_match.m_brown_lowe,
+    )
+    comp_graph = verify_matches(feats, sub_pairs, sub_idx, sub_mask, counts, cfg, key)
+    return comp_set, images_dev, feats, comp_graph
 
 
 def second_pass_matching(

@@ -349,7 +349,14 @@ def so3_exp(w: Array) -> Array:
 
 
 def so3_log(R: Array) -> Array:
-    """Logarithm map, (..., 3, 3) -> (..., 3). Stable for small angles."""
+    """Logarithm map, (..., 3, 3) -> (..., 3).
+
+    Stable over the whole angle range: the standard antisymmetric-part
+    formula degenerates as theta -> pi (sin theta -> 0 while the axis stays
+    defined), so near pi the axis is recovered from the symmetric part
+    (R + R^T)/2 = cos(t) I + (1 - cos t) aa^T instead, with signs fixed
+    from the largest-magnitude axis component and the antisymmetric part.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     theta = jnp.arccos(cos_t)
@@ -360,13 +367,37 @@ def so3_log(R: Array) -> Array:
             R[..., 1, 0] - R[..., 0, 1],
         ],
         axis=-1,
-    )
+    )  # = 2 sin(theta) * axis
     sin_t = jnp.sin(theta)
     # theta / (2 sin theta), -> 1/2 as theta -> 0
     scale = jnp.where(
         jnp.abs(sin_t) < 1e-6, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS)
     )
-    return v * scale[..., None]
+    w_std = v * scale[..., None]
+
+    # --- near-pi branch: axis^2 from the symmetric part's diagonal ---
+    one_m_c = jnp.maximum(1.0 - cos_t, 1e-12)[..., None]
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    a = jnp.sqrt(jnp.maximum((diag - cos_t[..., None]) / one_m_c, 0.0))
+    # signs relative to the largest component k: sign(a_i) = sign(S_ik)
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+    k = jnp.argmax(a, axis=-1)
+    Sk = jnp.take_along_axis(S, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+    sign_i = jnp.where(Sk >= 0.0, 1.0, -1.0)
+    # pin a_k's own sign to + (S_kk = cos t + (1 - cos t) a_k^2 can be
+    # negative near pi, which would wrongly flip the reference component);
+    # for i != k the off-diagonal S_ik = (1-cos t) a_i a_k carries a_i's sign
+    onehot_k = jnp.arange(3) == k[..., None]
+    sign_i = jnp.where(onehot_k, 1.0, sign_i)
+    a = a * sign_i
+    # overall +-a ambiguity at exactly pi; otherwise match the antisymmetric
+    # part (v = 2 sin(t) a with sin t >= 0 for t in [0, pi])
+    flip = jnp.sum(a * v, axis=-1) < 0.0
+    a = jnp.where(flip[..., None], -a, a)
+    w_pi = a * theta[..., None]
+
+    near_pi = (cos_t < -0.99)[..., None]
+    return jnp.where(near_pi, w_pi, w_std)
 
 
 def project_to_so3(M: Array) -> Array:

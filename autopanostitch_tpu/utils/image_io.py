@@ -34,15 +34,30 @@ class ImageSet:
     """A loaded dataset: one padded stack + per-image metadata.
 
     images may be uint8 (preferred: 4x cheaper host->device upload) or
-    float32 in [0, 1]; the pipeline converts on device."""
+    float32 in [0, 1]; the pipeline converts on device.
+
+    originals (optional) keeps the pre-resize full-resolution images so the
+    per-component second matching pass can re-resize and re-extract
+    (reference `imageMatchingPanoramaConComps.m:48-78`); paths allows lazy
+    reloading instead when memory matters."""
 
     images: np.ndarray  # (N, H, W, 3) uint8 or float32 [0,1], zero-padded
     sizes: np.ndarray  # (N, 2) int32 valid (h, w) per image
     names: List[str]
+    originals: list | None = None  # [N] full-res (h, w, 3) float32 arrays
+    paths: List[str] | None = None  # source files (lazy reload fallback)
 
     @property
     def n(self) -> int:
         return self.images.shape[0]
+
+    def original(self, k: int) -> np.ndarray | None:
+        """Full-resolution image k, from memory or lazily from disk."""
+        if self.originals is not None:
+            return self.originals[k]
+        if self.paths is not None:
+            return load_image(self.paths[k])
+        return None
 
 
 def load_image(path: str) -> np.ndarray:
@@ -107,22 +122,31 @@ def load_image_set(
     width_limit: int = 800,
     pad_multiple: int = 32,
     mode: str = "fit",
+    keep_originals: bool = False,
 ) -> ImageSet:
     """Load, EXIF-rotate, resize ('fit' | 'pad' | 'fillcrop', reference
     `resizeImagesToLimits.m`) and zero-pad a set of images into one
     static-shape stack (reference: `loadImages.m:56-80`).
 
     pad_multiple rounds the common shape up so a handful of datasets share
-    one compiled executable shape.
+    one compiled executable shape. keep_originals retains the pre-resize
+    images for the per-component second matching pass.
     """
     resize = _RESIZE_MODES[mode]
-    imgs = [resize(load_image(p), height_limit, width_limit) for p in paths]
+    originals = [load_image(p) for p in paths]
+    imgs = [resize(im, height_limit, width_limit) for im in originals]
     sizes = np.array([im.shape[:2] for im in imgs], np.int32)
     H = int(np.ceil(sizes[:, 0].max() / pad_multiple) * pad_multiple)
     W = int(np.ceil(sizes[:, 1].max() / pad_multiple) * pad_multiple)
     stack = np.stack([_pad_to(im, H, W) for im in imgs])
     names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
-    return ImageSet(images=stack, sizes=sizes, names=names)
+    return ImageSet(
+        images=stack,
+        sizes=sizes,
+        names=names,
+        originals=originals if keep_originals else None,
+        paths=list(paths),
+    )
 
 
 def list_dataset(folder: str) -> List[str]:

@@ -1,19 +1,23 @@
-"""Headline benchmark: end-to-end stitch throughput on one chip.
+"""Headline benchmark on one chip. Prints ONE JSON line with the three
+BASELINE.json metrics:
 
-Prints ONE JSON line:
-  {"metric": "e2e_stitch_mpix_per_sec", "value": N, "unit": "Mpix/s",
-   "vs_baseline": N, ...}
-
-Workload: 6 overlapping 640x512 views cropped from a real photo, full
-pipeline (SIFT -> global matching -> RANSAC verification -> panorama
-discovery -> composite). Wall time is the steady-state run (2nd call; the
-1st run pays XLA compilation, which is cached across calls of the same
-shape and reported separately).
+  - e2e stitch throughput (Mpix/s): 6 overlapping 640x512 photo views
+    through the full pipeline (SIFT -> global match -> RANSAC -> discovery
+    -> composite), steady state.
+  - SIFT keypoints/sec: batched extraction on the same 6-view stack.
+  - PSNR (dB) + wall time of the north-star workload: a 100-view 360-degree
+    spherical panorama from a smooth synthetic environment, rendered
+    bicubic, compared against the gauge-aligned ground-truth environment
+    lookup (north star: < 5 s at >= 40 dB).
 
 vs_baseline: the MATLAB reference publishes no numbers (BASELINE.md); we
-compare against a conservative estimate of 0.1 Mpix/s for the reference's
+compare against a conservative ESTIMATE of 0.1 Mpix/s for the reference's
 per-dataset wall time at its default operating point (800x800 inputs,
 minutes-scale end-to-end runs per its own README performance remarks).
+
+The JAX persistent compilation cache is enabled, so `compile_s` collapses
+to near-steady on any rerun with the same shapes (round-1 cold compile was
+101 s per process).
 """
 
 import json
@@ -23,7 +27,9 @@ import time
 
 import numpy as np
 
-REFERENCE_EST_MPIX_S = 0.1
+REFERENCE_EST_MPIX_S = 0.1  # estimate, not a published number
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 
 def load_views():
@@ -33,7 +39,6 @@ def load_views():
     if os.path.exists(path):
         env = np.asarray(Image.open(path).convert("RGB").resize((1920, 900)), np.float32) / 255.0
     else:  # fallback: synthetic
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
         import synthdata
 
         env = synthdata.texture(0, 900, 1920)
@@ -42,7 +47,122 @@ def load_views():
     return views
 
 
+def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMatchConfig, ImageSet):
+    views = load_views()
+    sizes = np.array([v.shape[:2] for v in views], np.int32)
+    stack = (np.stack(views) * 255).astype(np.uint8)  # 4x cheaper upload
+    iset = ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(len(views))])
+    cfg = StitchConfig(
+        detector=DetectorConfig(max_keypoints=1024, num_octaves=4),
+        matching=MatchingConfig(max_matches_per_pair=512),
+        image_match=ImageMatchConfig(ransac_batch=512),
+    )
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    steady_s = time.time() - t0
+
+    # SIFT keypoints/sec: batched extraction alone, steady state
+    import jax
+    import jax.numpy as jnp
+
+    from autopanostitch_tpu.models import features as features_stage
+
+    img_f = jnp.asarray(stack.astype(np.float32) / 255.0)
+    feats = features_stage.extract_features(img_f, sizes, cfg.detector)
+    n_kp = int(np.asarray(feats.mask).sum())  # also syncs
+    t0 = time.time()
+    feats = features_stage.extract_features(img_f, sizes, cfg.detector)
+    n_kp = int(np.asarray(feats.mask).sum())
+    sift_s = time.time() - t0
+
+    mpix = stack.shape[0] * stack.shape[1] * stack.shape[2] / 1e6
+    return {
+        "value": round(mpix / steady_s, 3),
+        "steady_s": round(steady_s, 3),
+        "compile_s": round(compile_s, 1),
+        "n_images": len(views),
+        "n_keypoints": n_kp,
+        "sift_kps_per_sec": round(n_kp / sift_s, 0),
+        "n_panoramas": len(res.panoramas),
+        "accepted_pairs": int(res.graph.accepted.sum()),
+    }
+
+
+def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
+                  ImageMatchConfig, ImageSet, n_views=100):
+    """North-star workload: 100-view 360x~50 spherical pano, PSNR vs GT."""
+    import synthdata
+
+    from autopanostitch_tpu.config import BlendConfig, RenderConfig, StraightenConfig
+
+    env = synthdata.smooth_texture(7, 768, 2048)
+    f_true = 350.0
+    w, h = 384, 288
+    yaw = 2 * np.pi / n_views
+    views, Rs = [], []
+    for i in range(n_views):
+        R = synthdata.rot_y(i * yaw).T
+        views.append(synthdata.render_pinhole_from_equirect(env, R, f_true, w, h, "bicubic"))
+        Rs.append(R)
+    Rs = np.stack(Rs)
+    stack = (np.stack(views) * 255).astype(np.uint8)
+    sizes = np.tile(np.array([h, w], np.int32), (n_views, 1))
+    iset = ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(n_views)])
+    cfg = StitchConfig(
+        detector=DetectorConfig(max_keypoints=512, num_octaves=3),
+        matching=MatchingConfig(max_matches_per_pair=256),
+        image_match=ImageMatchConfig(ransac_batch=256),
+        straighten=StraightenConfig(enabled=False),
+        render=RenderConfig(projections=("spherical",), interpolation="bicubic"),
+        blend=BlendConfig(mode="multiband"),
+    )
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    steady_s = time.time() - t0
+
+    pr = res.panoramas[0]
+    pano = pr["projections"]["spherical"]
+    cover = pr["coverage"]
+    canvas = pr["canvas"]["spherical"]
+    R_est = pr["R_render"]
+    # gauge: orthogonal Procrustes over all cameras
+    M = sum(R_est[i].T @ Rs[i] for i in range(n_views))
+    U, _, Vt = np.linalg.svd(M)
+    G = U @ Vt
+    if np.linalg.det(G) < 0:
+        U[:, -1] *= -1
+        G = U @ Vt
+    ys, xs = np.nonzero(cover)
+    sub = np.random.default_rng(0).choice(len(ys), min(400000, len(ys)), replace=False)
+    ys, xs = ys[sub], xs[sub]
+    u = canvas["x0"] + xs / canvas["f_pan"]
+    v = canvas["y0"] + ys / canvas["f_pan"]
+    d = np.stack([np.cos(v) * np.sin(u), np.sin(v), np.cos(v) * np.cos(u)], -1)
+    gt = synthdata.env_lookup(env, d @ G, interp="bicubic")
+    err = pano[ys, xs].astype(np.float64) / 255.0 - gt
+    psnr = 10 * np.log10(1.0 / max(np.mean(err**2), 1e-12))
+    f_est = np.asarray(pr["ba"]["cameras"].f)
+    return {
+        "pano100_s": round(steady_s, 3),
+        "pano100_compile_s": round(compile_s, 1),
+        "pano100_psnr_db": round(psnr, 2),
+        "pano100_ferr_pct": round(float(np.abs(f_est - f_true).max() / f_true * 100), 4),
+        "pano100_n_views": n_views,
+        "pano100_canvas": [int(pano.shape[0]), int(pano.shape[1])],
+    }
+
+
 def main():
+    from autopanostitch_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from autopanostitch_tpu.config import (
         DetectorConfig,
         ImageMatchConfig,
@@ -52,44 +172,18 @@ def main():
     from autopanostitch_tpu.models import pipeline
     from autopanostitch_tpu.utils.image_io import ImageSet
 
-    views = load_views()
-    sizes = np.array([v.shape[:2] for v in views], np.int32)
-    # uint8 stack: 4x cheaper host->device upload (converted on device)
-    stack = (np.stack(views) * 255).astype(np.uint8)
-    iset = ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(len(views))])
-    cfg = StitchConfig(
-        detector=DetectorConfig(max_keypoints=1024, num_octaves=4),
-        matching=MatchingConfig(max_matches_per_pair=512),
-        image_match=ImageMatchConfig(ransac_batch=512),
-    )
-
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg)
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg)
-    steady_s = time.time() - t0
-
-    mpix = stack.shape[0] * stack.shape[1] * stack.shape[2] / 1e6
-    value = mpix / steady_s
-    n_kp = int(np.asarray(res.features.mask).sum())
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_stitch_mpix_per_sec",
-                "value": round(value, 3),
-                "unit": "Mpix/s",
-                "vs_baseline": round(value / REFERENCE_EST_MPIX_S, 2),
-                "steady_s": round(steady_s, 3),
-                "compile_s": round(compile_s, 1),
-                "n_images": len(views),
-                "n_keypoints": n_kp,
-                "n_panoramas": len(res.panoramas),
-                "accepted_pairs": int(res.graph.accepted.sum()),
-            }
-        )
-    )
+    out = {"metric": "e2e_stitch_mpix_per_sec", "unit": "Mpix/s"}
+    r6 = bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
+                     ImageMatchConfig, ImageSet)
+    out.update(r6)
+    out["vs_baseline"] = round(r6["value"] / REFERENCE_EST_MPIX_S, 2)
+    out["vs_baseline_note"] = "estimate; reference publishes no numbers"
+    try:
+        out.update(bench_pano100(pipeline, StitchConfig, DetectorConfig,
+                                 MatchingConfig, ImageMatchConfig, ImageSet))
+    except Exception as e:  # never lose the headline metric
+        out["pano100_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -72,6 +72,41 @@ def test_hba_refines_chained_homographies():
     assert err_ref.mean() < 1.5, (err_init.mean(), err_ref.mean())
 
 
+def test_hba_bidirectional_chain_residual():
+    """The bidirectional chain residual (`bundleAdjustmentH.m:592-683`,
+    h_one_direction=False) refines the drifted chain at least as well as
+    the default unidirectional canvas residual."""
+    pairs, Hs, coords, G_true = make_planar_problem(noise=0.5, seed=5)
+    n = 4
+    rng = np.random.default_rng(6)
+    Hs_noisy = Hs.copy()
+    for p in range(len(Hs)):
+        Hs_noisy[p][0, 2] += rng.normal() * 3.0
+        Hs_noisy[p][1, 2] += rng.normal() * 3.0
+    res = bundle_h.run_bundle_adjustment_h(
+        pairs, Hs_noisy, coords, n,
+        BundleConfig(max_iter_lm=30, h_one_direction=False),
+    )
+    anchor = res["anchor"]
+    err_init = canvas_rms(res["H_init"], np.stack(G_true), anchor, n, np.random.default_rng(2))
+    err_ref = canvas_rms(res["H_abs"], np.stack(G_true), anchor, n, np.random.default_rng(2))
+    assert err_ref.mean() < err_init.mean()
+    assert err_ref.mean() < 1.5, (err_init.mean(), err_ref.mean())
+
+
+def test_hba_regdet_keeps_scale():
+    """RegDet (`bundleAdjustmentH.m:437-499`) penalizes log|det 2x2|: with
+    a strong weight the refined homographies keep near-unit determinant."""
+    pairs, Hs, coords, G_true = make_planar_problem(noise=0.3, seed=7)
+    res = bundle_h.run_bundle_adjustment_h(
+        pairs, Hs, coords, 4, BundleConfig(max_iter_lm=20, reg_det=10.0)
+    )
+    for k in range(4):
+        H = res["H_abs"][k]
+        det2 = H[0, 0] * H[1, 1] - H[0, 1] * H[1, 0]
+        assert 0.5 < abs(det2) < 2.0
+
+
 def test_hba_gauge_anchor_identity():
     pairs, Hs, coords, G_true = make_planar_problem(noise=0.2, seed=3)
     res = bundle_h.run_bundle_adjustment_h(pairs, Hs, coords, 4, BundleConfig(max_iter_lm=10))

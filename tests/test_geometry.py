@@ -144,6 +144,20 @@ class TestSO3:
         R = geo.so3_exp(w)
         np.testing.assert_allclose(np.array(R[0]), np.eye(3), atol=1e-6)
 
+    def test_log_near_pi(self):
+        """exp(log(R)) == R for rotation angles approaching and at pi — the
+        antisymmetric-part formula alone degenerates there (a 360-degree
+        panorama ring always contains such rotations; the round-1 bug made
+        BA diverge on full rings)."""
+        r = rng(9)
+        for ang in [3.0, 3.1, 3.13, 3.14, np.pi - 1e-5, np.pi]:
+            axis = r.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            w = jnp.asarray((axis * ang)[None], jnp.float32)
+            R = geo.so3_exp(w)
+            R2 = geo.so3_exp(geo.so3_log(R))
+            np.testing.assert_allclose(np.array(R2), np.array(R), atol=2e-3)
+
     def test_project_to_so3(self):
         r = rng(9)
         M = jnp.array(np.eye(3) + 0.1 * r.normal(size=(3, 3)), jnp.float32)

