@@ -53,9 +53,15 @@ def build_config(args):
             projections=tuple(args.projections.split(",")),
             height_limit=args.size_limit,
             width_limit=args.size_limit,
+            resize_image=not args.no_resize,
         ),
         straighten=StraightenConfig(force_planar_scan=args.force_planar),
-        post=PostConfig(crop_panorama=args.crop, image_save_folder=args.out),
+        post=PostConfig(
+            crop_panorama=args.crop,
+            image_save_folder=args.out,
+            image_write=not args.no_write,
+            show_crop_bounding_box=args.show_crop_bbox,
+        ),
     )
 
 
@@ -67,16 +73,27 @@ def stitch_dataset(name: str, paths, cfg, out_dir: str):
     timer = StageTimer()
     print(f"=== Dataset: {name} ({len(paths)} images) ===")
     with timer.stage("Image loading"):
-        iset = load_image_set(paths, cfg.render.height_limit, cfg.render.width_limit)
+        if cfg.render.resize_image:
+            # `inputs.m resizeImage`: resize into the render limits
+            limits = (cfg.render.height_limit, cfg.render.width_limit)
+        else:  # native resolution (still padded to one common stack shape)
+            limits = (1 << 30, 1 << 30)
+        iset = load_image_set(paths, *limits)
     with timer.stage("Stitching (features/match/BA/render)"):
         result = pipeline.stitch(iset, cfg, cache_dir=getattr(cfg, "_cache_dir", None))
     with timer.stage("Crop & save"):
         for pano_i, pano in enumerate(result.panoramas):
+            if not cfg.post.image_write:
+                break  # `inputs.m imageWrite`: skip disk output
             panos = pano.get("projections_cropped") or pano["projections"]
             for mode, img in panos.items():
                 fname = f"{mode}_{name}_{pano_i}.png"
                 save_image(os.path.join(out_dir, fname), img)
                 print(f"  wrote {fname}  {img.shape[1]}x{img.shape[0]}")
+            for mode, img in (pano.get("projections_crop_bbox") or {}).items():
+                fname = f"{mode}_{name}_{pano_i}_cropbbox.png"
+                save_image(os.path.join(out_dir, fname), img)
+                print(f"  wrote {fname}")
     timer.report()
     print(
         f"panoramas: {len(result.panoramas)}; components: "
@@ -95,6 +112,12 @@ def main(argv=None):
     ap.add_argument("--crop", action="store_true")
     ap.add_argument("--force-planar", action="store_true")
     ap.add_argument("--size-limit", type=int, default=800)
+    ap.add_argument("--no-resize", action="store_true",
+                    help="stitch at native resolution (inputs.m resizeImage=false)")
+    ap.add_argument("--no-write", action="store_true",
+                    help="skip writing panoramas (inputs.m imageWrite=false)")
+    ap.add_argument("--show-crop-bbox", action="store_true",
+                    help="save the inscribed-crop bounding box overlay")
     ap.add_argument("--log", default=None)
     ap.add_argument("--cache", default=None, help="per-stage artifact cache dir (resume)")
     args = ap.parse_args(argv)

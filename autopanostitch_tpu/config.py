@@ -56,7 +56,12 @@ class MatchingConfig:
     # ImageSet to carry originals or paths (load_image_set
     # keep_originals=True); falls back to re-matching existing features.
     resize_panorama_cluster: bool = True
-    method: str = "exhaustive"  # 'exhaustive' | 'approximate' (inputs.m:48)
+    # 'exhaustive' (exact MXU all-pairs) | 'approximate' (inputs.m:48): the
+    # FLANN analog — 32-d random-projection sketch prefilter + exact
+    # re-rank of the top sketch candidates (ops/matching.global_knn).
+    # Applies to the pooled global matcher; the pairwise matcher is always
+    # exact (per-pair matrices are small enough that exact wins on TPU).
+    method: str = "exhaustive"
     # Match threshold (inputs.m:52, matchFeaturesScratch.m:177-178): for
     # float descriptors a raw-SSD cut (unit-norm SIFT -> SSD in [0,4]); for
     # binary descriptors percent mismatched bits. None = the scratch
@@ -74,15 +79,20 @@ class ImageMatchConfig:
 
     method: str = "ransac"  # 'ransac' | 'mlesac' (inputs.m:63)
     m_brown_lowe: int = 6  # candidate matches per image (inputs.m:65)
+    # RANSAC hypothesis budget: total trials = min(max_iter, N(confidence))
+    # where N is the log(1-p)/log(1-w^s) trial-count formula at the design
+    # inlier ratio 0.3 (estimateTransformationRANSAC.m:124-131; see
+    # ops/ransac.num_trials). Trials run in sub-batches of ransac_batch.
     max_iter: int = 500  # inputs.m:68
     max_distance: float = 5.5  # inlier distance in px (inputs.m:69)
     inliers_confidence: float = 99.9  # inputs.m:72
     transformation_type: str = "projective"  # inputs.m:73
-    # Brown-Lowe probabilistic match acceptance: ni > alpha + beta * nf
-    # (imageMatching.m:38-42,150): projective (8, 0.3); rigid (5, 0.025);
-    # affine/similarity/translation (5, 0.15)
-    accept_alpha: float = 8.0
-    accept_beta: float = 0.3
+    # Brown-Lowe probabilistic match acceptance: ni > alpha + beta * nf.
+    # None = auto-dispatch on transformation_type (imageMatching.m:38-42):
+    # projective (8, 0.3); affine (5, 0.15);
+    # rigid/similarity/translation (5, 0.025).
+    accept_alpha: Optional[float] = None
+    accept_beta: Optional[float] = None
     ransac_batch: int = 512  # hypotheses evaluated in parallel (TPU)
     refine_irls_iters: int = 3  # weighted-DLT refit iterations on inliers
 
@@ -157,18 +167,22 @@ class RenderConfig:
     """Rendering (reference `inputs.m:103-113` and renderPanorama.m:41-71)."""
 
     projections: Tuple[str, ...] = ("spherical",)
+    # resize inputs into (height_limit, width_limit) at load (inputs.m:104
+    # resizeImage); False = stitch at native resolution (CLI --no-resize)
     resize_image: bool = True
     height_limit: int = 800
     width_limit: int = 800
     angle_power: float = 1.0
     margin: float = 0.01
     max_megapixel: float = 50.0
+    # percentile clip for planar/stereographic bounds (`planarBounds`)
     robust_pct: Tuple[float, float] = (1.0, 99.0)
     uv_abs_cap: float = 8.0
     pixel_pad: float = 24.0
     auto_ref: bool = True
     crop_border: bool = True
     tile: Tuple[int, int] = (512, 512)
+    # 'black' | 'white' fill for uncovered canvas (inputs.m canvasColor)
     canvas_color: str = "black"
     # resampling filter in the compositing gather ('nearest' | 'bilinear' |
     # 'bicubic'), mirroring `imageWarp.m:108-302`. Bicubic costs ~4x the
@@ -194,10 +208,12 @@ class PostConfig:
 class TPUConfig:
     """TPU-native execution knobs (no reference equivalent)."""
 
-    compute_dtype: str = "float32"  # descriptors/matmuls may use bf16
+    # dtype of the descriptor-distance cross-term matmuls ('float32' |
+    # 'bfloat16'); bf16 halves MXU time and HBM traffic for matching at a
+    # small distance-precision cost (accumulation is always f32)
+    compute_dtype: str = "float32"
     match_block: int = 1024  # query block in streaming top-k matching
     mesh_axis: str = "data"  # mesh axis name for image/pair sharding
-    donate_buffers: bool = True
 
 
 @_frozen

@@ -30,6 +30,39 @@ def mask_from_color(pano: np.ndarray, canvas_color: str = "black",
     return (img > black_range).any(axis=-1)
 
 
+def fill_canvas_color(pano: np.ndarray, mask: np.ndarray,
+                      canvas_color: str = "black") -> np.ndarray:
+    """Fill uncovered pixels with the configured canvas color
+    (reference `inputs.m canvasColor`; the renderer composites onto zeros,
+    so 'black' is a no-op)."""
+    if canvas_color == "black":
+        return pano
+    fill = 255 if pano.dtype == np.uint8 else 1.0
+    out = pano.copy()
+    out[~mask] = fill
+    return out
+
+
+def draw_rect(pano: np.ndarray, rect, color=(255, 0, 0), width: int = 3) -> np.ndarray:
+    """Overlay the crop rectangle outline (reference
+    `cropNsavePanorama.m showCropBoundingBox` / `inputs.m:122`).
+
+    rect = (r0, r1, c0, c1) half-open. Returns a copy."""
+    out = pano.copy()
+    if out.dtype != np.uint8:
+        color = tuple(c / 255.0 for c in color)
+    r0, r1, c0, c1 = rect
+    r0 = max(r0, 0)
+    c0 = max(c0, 0)
+    r1 = min(r1, out.shape[0])
+    c1 = min(c1, out.shape[1])
+    out[r0 : min(r0 + width, r1), c0:c1] = color
+    out[max(r1 - width, r0) : r1, c0:c1] = color
+    out[r0:r1, c0 : min(c0 + width, c1)] = color
+    out[r0:r1, max(c1 - width, c0) : c1] = color
+    return out
+
+
 def crop_bbox(pano: np.ndarray, mask: np.ndarray):
     """Tight bounding box crop (reference cropNonzeroBbox).
 

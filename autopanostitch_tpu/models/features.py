@@ -33,6 +33,15 @@ def extract_features(
     """
     gray = sift.rgb_to_gray(images)
     det = cfg.detector.upper()
+    scale_back = 1.0
+    if cfg.upsample_input:
+        # Lowe's octave -1: detect on the 2x linearly-upsampled image
+        # (doubles the smallest resolvable scale; keypoint coordinates and
+        # scales are mapped back to input pixels below)
+        N, H, W = gray.shape
+        gray = jax.image.resize(gray, (N, 2 * H, 2 * W), "linear")
+        sizes = np.asarray(sizes) * 2
+        scale_back = 0.5
     if det in ("HARRIS", "FAST", "ORB", "BRISK"):
         from autopanostitch_tpu.ops import corners
 
@@ -57,4 +66,9 @@ def extract_features(
         & (y >= border)
         & (y <= h_valid - 1 - border)
     )
-    return feats._replace(mask=feats.mask & in_valid)
+    feats = feats._replace(mask=feats.mask & in_valid)
+    if scale_back != 1.0:
+        feats = feats._replace(
+            xy=feats.xy * scale_back, scale=feats.scale * scale_back
+        )
+    return feats

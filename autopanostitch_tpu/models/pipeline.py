@@ -88,6 +88,7 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
             max_matches=cfg.matching.max_matches_per_pair,
             threshold=threshold,
             binary=binary,
+            compute_dtype=cfg.tpu.compute_dtype,
         )
         pairs = np.asarray(pairs)
         n = np.asarray(n)
@@ -103,7 +104,8 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
     local_idx = jnp.tile(jnp.arange(K, dtype=jnp.int32), N)
 
     nn_idx, nn_dist = mt.global_knn(
-        desc, mask, image_id, k=cfg.matching.k, block=cfg.tpu.match_block
+        desc, mask, image_id, k=cfg.matching.k, block=cfg.tpu.match_block,
+        method=cfg.matching.method, compute_dtype=cfg.tpu.compute_dtype,
     )
     best, accepted = mt.global_ratio_test(
         nn_idx, nn_dist, ratio=cfg.matching.ratio_threshold, binary=binary
@@ -134,6 +136,27 @@ def select_candidate_pairs(pairs, pair_idx, pair_mask, counts, m: int):
     return pairs[keep], pair_idx[keep], pair_mask[keep]
 
 
+# Brown-Lowe model-dependent acceptance constants `ni > alpha + beta * nf`
+# (`imageMatching.m:38-42`), auto-dispatched on transformation_type when the
+# config leaves accept_alpha/accept_beta at None.
+_ACCEPT_CONSTANTS = {
+    "projective": (8.0, 0.3),
+    "affine": (5.0, 0.15),
+    "similarity": (5.0, 0.025),
+    "rigid": (5.0, 0.025),
+    "translation": (5.0, 0.025),
+}
+
+
+def _acceptance(im) -> tuple:
+    a, b = _ACCEPT_CONSTANTS[im.transformation_type]
+    if im.accept_alpha is not None:
+        a = im.accept_alpha
+    if im.accept_beta is not None:
+        b = im.accept_beta
+    return a, b
+
+
 def verify_matches(
     feats: SiftFeatures,
     pairs: np.ndarray,
@@ -150,6 +173,7 @@ def verify_matches(
     dst = xy[pairs[:, 1][:, None], pair_idx[:, :, 1]]
     keys = jax.random.split(key, max(P, 1))
     im = cfg.image_match
+    alpha, beta = _acceptance(im)
     out = rs.verify_pairs(
         jnp.asarray(src),
         jnp.asarray(dst),
@@ -159,8 +183,10 @@ def verify_matches(
         model=im.transformation_type,
         method=im.method,
         batch=im.ransac_batch,
-        accept_alpha=im.accept_alpha,
-        accept_beta=im.accept_beta,
+        accept_alpha=alpha,
+        accept_beta=beta,
+        total=rs.num_trials(im.inliers_confidence, im.transformation_type,
+                            im.max_iter),
     )
     return MatchGraph(
         pairs=pairs,
@@ -338,6 +364,7 @@ def second_pass_component(
         ratio=cfg.matching.ratio_threshold,
         max_matches=cfg.matching.max_matches_per_pair,
         threshold=threshold, binary=binary,
+        compute_dtype=cfg.tpu.compute_dtype,
     )
     pairs_l = np.asarray(pairs_l)
     nm = np.asarray(nm)
@@ -380,6 +407,7 @@ def second_pass_matching(
         max_matches=cfg.matching.max_matches_per_pair,
         threshold=threshold,
         binary=binary,
+        compute_dtype=cfg.tpu.compute_dtype,
     )
     pairs_l = np.asarray(pairs_l)
     n = np.asarray(n)
@@ -571,9 +599,13 @@ def _apply_crop(result: Dict, cfg: StitchConfig) -> None:
     if not by_mode:
         return
     cropped = {}
+    bbox_vis = {}
     for mode, pano in result["projections"].items():
         # each projection has its own canvas size -> its own coverage mask
         cover = by_mode[mode]
+        if cfg.render.canvas_color != "black":
+            pano = crop_stage.fill_canvas_color(pano, cover, cfg.render.canvas_color)
+            result["projections"][mode] = pano
         if cfg.render.crop_border:
             pano_c, rect = crop_stage.crop_bbox(pano, cover)
         else:
@@ -581,6 +613,11 @@ def _apply_crop(result: Dict, cfg: StitchConfig) -> None:
         if cfg.post.crop_panorama:
             r = rect or (0, pano.shape[0], 0, pano.shape[1])
             sub_mask = cover[r[0] : r[1], r[2] : r[3]] if rect else cover
-            pano_c, _ = crop_stage.crop_panorama(pano_c, sub_mask)
+            pano_uncropped = pano_c
+            pano_c, inner = crop_stage.crop_panorama(pano_c, sub_mask)
+            if cfg.post.show_crop_bounding_box and inner is not None:
+                bbox_vis[mode] = crop_stage.draw_rect(pano_uncropped, inner)
         cropped[mode] = pano_c
     result["projections_cropped"] = cropped
+    if bbox_vis:
+        result["projections_crop_bbox"] = bbox_vis

@@ -42,12 +42,14 @@ Array = jax.Array
 def _bounds_per_camera(
     R: Array, K: Array, sizes: Array, mode: str, R_ref: Array,
     uv_abs_cap: float, nx: int = 48, ny: int = 32,
+    pct_lo: float = 1.0, pct_hi: float = 99.0,
 ):
     """(N,4) [umin,umax,vmin,vmax] per camera on the given surface.
 
     Mirrors the reference bounds functions: sample each camera's pixel grid,
     push rays to the surface, take robust extents. For planar/stereographic
-    a 1-99 percentile clip + hard cap mirrors `planarBounds` (`:1583-1671`).
+    a percentile clip (`RenderConfig.robust_pct`, default 1-99) + hard cap
+    mirrors `planarBounds` (`:1583-1671`).
     """
     tx = jnp.linspace(0.0, 1.0, nx)
     ty = jnp.linspace(0.0, 1.0, ny)
@@ -66,10 +68,10 @@ def _bounds_per_camera(
             v = jnp.clip(v, -uv_abs_cap, uv_abs_cap)
             un = jnp.where(valid, u, jnp.nan)
             vn = jnp.where(valid, v, jnp.nan)
-            lo_u = jnp.nanpercentile(un, 1.0)
-            hi_u = jnp.nanpercentile(un, 99.0)
-            lo_v = jnp.nanpercentile(vn, 1.0)
-            hi_v = jnp.nanpercentile(vn, 99.0)
+            lo_u = jnp.nanpercentile(un, pct_lo)
+            hi_u = jnp.nanpercentile(un, pct_hi)
+            lo_v = jnp.nanpercentile(vn, pct_lo)
+            hi_v = jnp.nanpercentile(vn, pct_hi)
         else:
             big = jnp.float32(1e9)
             lo_u = jnp.min(jnp.where(valid, u, big))
@@ -105,6 +107,7 @@ def compute_canvas(
                 _bounds_per_camera(
                     jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
                     mode, jnp.asarray(R[cand]), cfg.uv_abs_cap,
+                    pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
                 )
             )
             u0, u1 = b[:, 0].min(), b[:, 1].max()
@@ -122,16 +125,18 @@ def compute_canvas(
         _bounds_per_camera(
             jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
             mode, jnp.asarray(R_ref), cfg.uv_abs_cap,
+            pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
         )
     )
     u0, u1 = float(b[:, 0].min()), float(b[:, 1].max())
     v0, v1 = float(b[:, 2].min()), float(b[:, 3].max())
 
     if mode == "equirectangular":
-        # full-sphere canvas (the reference treats it as spherical alias;
-        # we honor the name with fixed 360x180 extents)
-        u0, u1 = -np.pi, np.pi
-        v0, v1 = -np.pi / 2, np.pi / 2
+        # fitted bounds clipped to the full sphere (a 60-degree panorama no
+        # longer allocates the whole 360x180 canvas; the reference treats
+        # equirectangular as a spherical alias with fitted bounds)
+        u0, u1 = max(u0, -np.pi), min(u1, np.pi)
+        v0, v1 = max(v0, -np.pi / 2), min(v1, np.pi / 2)
 
     du, dv = u1 - u0, v1 - v0
     u0 -= cfg.margin * du
@@ -316,31 +321,27 @@ def tile_contributors(
     # to canvas pixels
     px = (b[:, :2] - x0) * f_pan  # (N, 2) [umin, umax]
     py = (b[:, 2:] - y0) * f_pan
-    n = len(sizes)
     wrap = 2 * np.pi * f_pan if mode in ("cylindrical", "spherical", "equirectangular") else None
 
-    origins, sels, oks = [], [], []
-    for r0 in range(0, Hc, th):
-        for c0 in range(0, Wc, tw):
-            areas = np.zeros(n)
-            for k in range(n):
-                shifts = (0.0,) if wrap is None else (0.0, wrap, -wrap)
-                best = 0.0
-                for s in shifts:
-                    ox = max(0.0, min(px[k, 1] + s, c0 + tw) - max(px[k, 0] + s, c0))
-                    oy = max(0.0, min(py[k, 1], r0 + th) - max(py[k, 0], r0))
-                    best = max(best, ox * oy)
-                areas[k] = best
-            order = np.argsort(-areas)[:max_contributors]
-            ok = areas[order] > 0
-            origins.append((c0, r0))
-            sels.append(order)
-            oks.append(ok)
-    return (
-        np.stack(sels).astype(np.int32),
-        np.stack(oks),
-        np.array(origins, np.float32),
+    # vectorized tile x image x shift overlap (the loop form was O(T*N*S)
+    # pure python — measurable at 100 images x large canvases)
+    r0s = np.arange(0, Hc, th, dtype=np.float64)
+    c0s = np.arange(0, Wc, tw, dtype=np.float64)
+    R0, C0 = np.meshgrid(r0s, c0s, indexing="ij")
+    origins = np.stack([C0.ravel(), R0.ravel()], -1)  # (T, 2) [x, y]
+    shifts = np.array([0.0] if wrap is None else [0.0, wrap, -wrap])  # (S,)
+    tx0 = origins[:, 0][:, None, None]  # (T, 1, 1)
+    ty0 = origins[:, 1][:, None, None]
+    ox = np.minimum(px[None, :, 1, None] + shifts, tx0 + tw) - np.maximum(
+        px[None, :, 0, None] + shifts, tx0
+    )  # (T, N, S)
+    oy = np.minimum(py[None, :, 1, None], ty0 + th) - np.maximum(
+        py[None, :, 0, None], ty0
     )
+    areas = (np.clip(ox, 0, None) * np.clip(oy, 0, None)).max(-1)  # (T, N)
+    order = np.argsort(-areas, axis=1)[:, :max_contributors]  # (T, C)
+    ok = np.take_along_axis(areas, order, axis=1) > 0
+    return order.astype(np.int32), ok, origins.astype(np.float32)
 
 
 def render_rotational(

@@ -74,7 +74,7 @@ def two_nn(
     return idx1, d1, d2
 
 
-@partial(jax.jit, static_argnames=("max_matches", "binary"))
+@partial(jax.jit, static_argnames=("max_matches", "binary", "compute_dtype"))
 def match_pair(
     desc_a: Array,
     mask_a: Array,
@@ -84,6 +84,7 @@ def match_pair(
     max_matches: int = 512,
     threshold: float = float("inf"),
     binary: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Match two descriptor sets: 2-NN, Lowe ratio + threshold, uniqueness.
 
@@ -102,8 +103,9 @@ def match_pair(
       m:    (max_matches,) bool validity
       n:    () int32 number of valid matches
     """
-    ia2b, d1_ab, d2_ab = two_nn(desc_a, mask_a, desc_b, mask_b)
-    ib2a, _, _ = two_nn(desc_b, mask_b, desc_a, mask_a)
+    cdt = jnp.dtype(compute_dtype)
+    ia2b, d1_ab, d2_ab = two_nn(desc_a, mask_a, desc_b, mask_b, cdt)
+    ib2a, _, _ = two_nn(desc_b, mask_b, desc_a, mask_a, cdt)
 
     if binary:
         pass_ratio = d1_ab <= ratio * d2_ab  # raw Hamming: linear ratio
@@ -131,7 +133,9 @@ def match_pair(
 
 @partial(
     jax.jit,
-    static_argnames=("max_matches", "ratio", "chunk", "threshold", "binary"),
+    static_argnames=(
+        "max_matches", "ratio", "chunk", "threshold", "binary", "compute_dtype",
+    ),
 )
 def match_all_pairs(
     desc: Array,  # (N, K, D)
@@ -141,6 +145,7 @@ def match_all_pairs(
     chunk: int = 16,
     threshold: float = float("inf"),
     binary: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Pairwise matching over every (i < j) image pair in one program.
 
@@ -164,6 +169,7 @@ def match_all_pairs(
         return match_pair(
             desc[i], mask[i], desc[j], mask[j], ratio=ratio,
             max_matches=max_matches, threshold=threshold, binary=binary,
+            compute_dtype=compute_dtype,
         )
 
     def step(_, ij):
@@ -181,14 +187,30 @@ def match_all_pairs(
     return pairs, idx, m, n
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
-def global_knn(desc: Array, mask: Array, image_id: Array, k: int = 4, block: int = 1024):
+@partial(jax.jit, static_argnames=("k", "block", "method", "compute_dtype"))
+def global_knn(
+    desc: Array,
+    mask: Array,
+    image_id: Array,
+    k: int = 4,
+    block: int = 1024,
+    method: str = "exhaustive",
+    compute_dtype: str = "float32",
+):
     """Pooled self-kNN over ALL images' descriptors (AutoStitch global match).
 
     Equivalent of the single global `flann_knn_win` query in
-    `featureMatchingGlobal.m:104-120`, done exactly: the pooled descriptor
-    matrix is multiplied against itself in query blocks (streaming top-k so
-    the full F x F distance matrix never materializes).
+    `featureMatchingGlobal.m:104-120`: the pooled descriptor matrix is
+    multiplied against itself in query blocks (streaming top-k so the full
+    F x F distance matrix never materializes).
+
+    method='exhaustive' (default, `inputs.m:48`) is exact.
+    method='approximate' is the TPU analog of the reference's FLANN
+    approximate mode: queries are first scored in a 32-d random-projection
+    sketch (4x less MXU work for D=128), the top 8k sketch candidates per
+    query are re-ranked with exact distances. Johnson-Lindenstrauss keeps
+    the true neighbours in the candidate set with high probability; like
+    FLANN, recall is high but not guaranteed.
 
     Self-matches and same-image neighbours are excluded BEFORE top-k (the
     reference filters after, `featureMatchingGlobal.m:122-147`; excluding
@@ -201,24 +223,52 @@ def global_knn(desc: Array, mask: Array, image_id: Array, k: int = 4, block: int
     Returns:
       nn_idx (F, k) int32, nn_dist (F, k) f32 ascending (masked -> _BIG).
     """
-    F = desc.shape[0]
+    F, D = desc.shape
+    cdt = jnp.dtype(compute_dtype)
     nblocks = (F + block - 1) // block
     Fpad = nblocks * block
     desc_q = jnp.pad(desc, ((0, Fpad - F), (0, 0)))
     id_q = jnp.pad(image_id, (0, Fpad - F), constant_values=-1)
     mask_q = jnp.pad(mask, (0, Fpad - F))
 
+    approx = method == "approximate" and D > 32
+    if approx:
+        # fixed random projection (deterministic; data-independent)
+        G = jax.random.normal(jax.random.PRNGKey(12345), (D, 32), desc.dtype)
+        G = G / jnp.sqrt(32.0)
+        desc_s = desc @ G  # (F, 32) sketch
+        desc_qs = jnp.pad(desc_s, ((0, Fpad - F), (0, 0)))
+        n_cand = min(8 * k, F)
+
     def step(carry, qb):
-        dq, iq, mq = qb
-        d = pairwise_sqdist(dq, desc)  # (block, F)
+        dq, dqs, iq, mq = qb
         same_img = iq[:, None] == image_id[None, :]
         bad = same_img | ~mask[None, :] | ~mq[:, None]
-        d = jnp.where(bad, _BIG, d)
-        neg_top, idx = jax.lax.top_k(-d, k)
+        if approx:
+            d_s = pairwise_sqdist(dqs, desc_s, cdt)  # (block, F) sketch
+            d_s = jnp.where(bad, _BIG, d_s)
+            _, cand = jax.lax.top_k(-d_s, n_cand)  # (block, C)
+            dc = desc[cand]  # (block, C, D)
+            qn = jnp.sum(dq.astype(jnp.float32) ** 2, -1, keepdims=True)
+            tn = jnp.sum(dc.astype(jnp.float32) ** 2, -1)
+            qt = jnp.einsum(
+                "bd,bcd->bc", dq.astype(cdt), dc.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            d_ex = jnp.maximum(qn + tn - 2.0 * qt, 0.0)
+            cand_bad = jnp.take_along_axis(d_s, cand, 1) >= _BIG
+            d_ex = jnp.where(cand_bad, _BIG, d_ex)
+            neg_top, ii = jax.lax.top_k(-d_ex, k)
+            idx = jnp.take_along_axis(cand, ii, 1)
+        else:
+            d = pairwise_sqdist(dq, desc, cdt)  # (block, F)
+            d = jnp.where(bad, _BIG, d)
+            neg_top, idx = jax.lax.top_k(-d, k)
         return carry, (idx.astype(jnp.int32), -neg_top)
 
     q_blocks = (
         desc_q.reshape(nblocks, block, -1),
+        (desc_qs if approx else desc_q[:, :1]).reshape(nblocks, block, -1),
         id_q.reshape(nblocks, block),
         mask_q.reshape(nblocks, block),
     )

@@ -15,8 +15,14 @@ few IRLS weighted-DLT passes on the winning inlier set. Everything is
 shape-static, so the whole verification of P image pairs vmaps/scans
 cleanly across pairs and shards across chips.
 
-B = 512 hypotheses gives success probability comparable to the reference's
-maxIter=500 sequential trials for inlier ratios >= ~30%.
+The trial budget is wired to the reference's knobs: the total number of
+hypotheses drawn is `min(max_iter, N(confidence))` where N(confidence) is
+the classic RANSAC trial-count formula `log(1-p) / log(1-w^s)` evaluated at
+the DESIGN inlier ratio w = 0.3 (`estimateTransformationRANSAC.m:124-131`
+updates the same formula adaptively as inliers are found; a batched drawer
+fixes w at the worst-case design point instead). Hypotheses are evaluated
+in sub-batches of `batch` with a running best, so memory stays O(batch x M)
+regardless of the budget.
 """
 
 from __future__ import annotations
@@ -41,6 +47,35 @@ _MODEL_FITTERS = {
     "rigid": (geo.fit_rigid, geo.fit_rigid, 2),
     "translation": (geo.fit_translation, geo.fit_translation, 1),
 }
+
+
+_DESIGN_INLIER_RATIO = 0.3  # worst-case design point for the trial budget
+
+
+def model_min_pts(model: str) -> int:
+    """Minimal correspondences for the model (`imageMatching.m:37-39`)."""
+    return _MODEL_FITTERS[model][2]
+
+
+def num_trials(confidence: float, model: str, max_iter: int) -> int:
+    """Hypothesis budget from the reference's two knobs (`inputs.m:68,72`).
+
+    `ceil(log(1-p) / log(1-w^s))` at the design inlier ratio, capped at
+    max_iter (`estimateTransformationRANSAC.m:124-131`), rounded up to a
+    multiple of 64 so the hypothesis axis tiles the VPU lanes.
+    """
+    s = model_min_pts(model)
+    if confidence >= 100.0:
+        n_conf = max_iter
+    else:
+        import math
+
+        n_conf = math.ceil(
+            math.log(max(1.0 - confidence / 100.0, 1e-12))
+            / math.log(1.0 - _DESIGN_INLIER_RATIO**s)
+        )
+    total = max(1, min(int(max_iter), int(n_conf)))
+    return ((total + 63) // 64) * 64
 
 
 class RansacResult(NamedTuple):
@@ -84,7 +119,7 @@ def _score(err: Array, mask: Array, threshold: float, method: str):
 
 @partial(
     jax.jit,
-    static_argnames=("model", "method", "batch", "irls_iters"),
+    static_argnames=("model", "method", "batch", "irls_iters", "total"),
 )
 def ransac_fit(
     src: Array,
@@ -96,6 +131,7 @@ def ransac_fit(
     method: str = "ransac",
     batch: int = 512,
     irls_iters: int = 3,
+    total: int | None = None,
 ) -> RansacResult:
     """Estimate a transform src -> dst robust to outliers.
 
@@ -105,30 +141,59 @@ def ransac_fit(
       key: PRNG key. threshold: inlier distance in px (`inputs.m:69`).
       model: 'projective' | 'affine' | 'similarity' | 'rigid' | 'translation'.
       method: 'ransac' | 'mlesac' (MSAC truncated-loss scoring).
-      batch: number of parallel hypotheses.
+      batch: hypotheses evaluated in parallel per sub-batch (memory knob).
       irls_iters: Huber-IRLS refit passes on the winning inlier set.
+      total: total hypothesis budget (see :func:`num_trials`); defaults to
+        `batch`. Budgets above `batch` run as a scan of sub-batches with a
+        running best, bounding the error tensor at (batch, M).
 
     Returns RansacResult. All shapes static — safe under vmap over pairs.
     """
     fit_min, fit_refit, min_pts = _MODEL_FITTERS[model]
     M = src.shape[0]
     n_valid = jnp.sum(mask.astype(jnp.int32))
+    if total is None:
+        total = batch
+    nsub = max(1, (total + batch - 1) // batch)
+    sub = min(batch, total)
 
-    idx = _sample_minimal_sets(key, mask, batch, min_pts)  # (B, p)
-    src_min = src[idx]  # (B, p, 2)
-    dst_min = dst[idx]
-    ones = jnp.ones((batch, min_pts), src.dtype)
-    Hs = jax.vmap(fit_min)(src_min, dst_min, ones)  # (B, 3, 3)
+    def eval_chunk(key_t):
+        idx = _sample_minimal_sets(key_t, mask, sub, min_pts)  # (B, p)
+        src_min = src[idx]  # (B, p, 2)
+        dst_min = dst[idx]
+        ones = jnp.ones((sub, min_pts), src.dtype)
+        Hs = jax.vmap(fit_min)(src_min, dst_min, ones)  # (B, 3, 3)
+        err = jax.vmap(lambda H: geo.symmetric_transfer_error(H, src, dst))(Hs)
+        err = jnp.where(jnp.isfinite(err), err, jnp.float32(1e9))
+        cost, inl, n_inl = _score(err, mask, threshold, method)
+        valid_model = jax.vmap(geo.homography_is_valid)(Hs)
+        cost = jnp.where(valid_model, cost, jnp.float32(1e30))
+        best = jnp.argmin(cost)
+        return cost[best], Hs[best], inl[best], n_inl[best]
 
-    err = jax.vmap(lambda H: geo.symmetric_transfer_error(H, src, dst))(Hs)  # (B, M)
-    err = jnp.where(jnp.isfinite(err), err, jnp.float32(1e9))
-    cost, inl, n_inl = _score(err, mask, threshold, method)
+    if nsub == 1:
+        _, H0, inl0, n_best = eval_chunk(key)
+    else:
+        def step(carry, key_t):
+            c, H, i, n = carry
+            c2, H2, i2, n2 = eval_chunk(key_t)
+            better = c2 < c
+            return (
+                jnp.where(better, c2, c),
+                jnp.where(better, H2, H),
+                jnp.where(better, i2, i),
+                jnp.where(better, n2, n),
+            ), None
 
-    valid_model = jax.vmap(geo.homography_is_valid)(Hs)
-    cost = jnp.where(valid_model, cost, jnp.float32(1e30))
-    best = jnp.argmin(cost)
-    H0 = Hs[best]
-    inl0 = inl[best]
+        init = (
+            jnp.float32(jnp.inf),
+            jnp.eye(3, dtype=src.dtype),
+            jnp.zeros((M,), bool),
+            jnp.int32(0),
+        )
+        (_, H0, inl0, n_best), _ = jax.lax.scan(
+            step, init, jax.random.split(key, nsub)
+        )
 
     # --- IRLS refit on inliers (replaces the reference's single LS refit,
     # `estimateTransformationRANSAC.m:146-181`) ---
@@ -147,7 +212,7 @@ def ransac_fit(
     e_ref = geo.symmetric_transfer_error(H_ref, src, dst)
     inl_ref = (e_ref < threshold) & mask & jnp.isfinite(e_ref)
     n_ref = jnp.sum(inl_ref)
-    use_ref = (n_ref >= n_inl[best]) & geo.homography_is_valid(H_ref)
+    use_ref = (n_ref >= n_best) & geo.homography_is_valid(H_ref)
     H_final = jnp.where(use_ref, H_ref, H0)
     inl_final = jnp.where(use_ref, inl_ref, inl0)
     n_final = jnp.sum(inl_final.astype(jnp.int32))
@@ -159,7 +224,7 @@ def ransac_fit(
 
 @partial(
     jax.jit,
-    static_argnames=("model", "method", "batch"),
+    static_argnames=("model", "method", "batch", "total"),
 )
 def _verify_chunk(
     pair_src: Array,
@@ -172,10 +237,12 @@ def _verify_chunk(
     model: str = "projective",
     method: str = "ransac",
     batch: int = 512,
+    total: int | None = None,
 ):
     """One fixed-size chunk of pair verifications (vmapped ransac_fit)."""
     one = partial(
-        ransac_fit, threshold=threshold, model=model, method=method, batch=batch
+        ransac_fit, threshold=threshold, model=model, method=method, batch=batch,
+        total=total,
     )
     res = jax.vmap(one)(pair_src, pair_dst, pair_mask, keys)
     accepted = res.success & (
@@ -204,6 +271,7 @@ def verify_pairs(
     accept_alpha: float = 8.0,
     accept_beta: float = 0.3,
     chunk: int = 16,
+    total: int | None = None,
 ):
     """Verify P candidate pairs with batched RANSAC + Brown-Lowe acceptance.
 
@@ -253,6 +321,7 @@ def verify_pairs(
                 ps[sl], pd[sl], pm[sl], ks[sl],
                 jnp.float32(threshold), jnp.float32(accept_alpha),
                 jnp.float32(accept_beta), model=model, method=method, batch=batch,
+                total=total,
             )
         )
     return {

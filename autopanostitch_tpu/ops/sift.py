@@ -378,13 +378,16 @@ def _dominant_orientations(hist: Array):
     return theta, ok
 
 
-def _descriptor_dense(wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array, theta: Array):
-    """128-d descriptor over a dense window: each window pixel soft-assigns
-    into the rotated (4, 4, 8) grid; the trilinear scatter is the MXU
-    contraction desc[r,c,o] = sum_p w_p R[p,r] C[p,c] O[p,o]."""
+def _descriptor_dense(
+    wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array, theta: Array,
+    d: int = 4, nbins: int = 8,
+):
+    """(d*d*nbins)-d descriptor over a dense window (128-d at the Lowe
+    defaults d=4, nbins=8, `DetectorConfig.descriptor_width/bins`): each
+    window pixel soft-assigns into the rotated (d, d, nbins) grid; the
+    trilinear scatter is the MXU contraction
+    desc[r,c,o] = sum_p w_p R[p,r] C[p,c] O[p,o]."""
     W = wdx.shape[0]
-    d = 4
-    nbins = 8
     cell = _DESC_SCALE_FACTOR * sigma_rel
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
@@ -468,7 +471,10 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
             hist = _orientation_hist_dense(wdx, wdy, lx, ly, srel)
             thetas, th_ok = _dominant_orientations(hist)
             descs = jax.vmap(
-                lambda t: _descriptor_dense(wdx, wdy, lx, ly, srel, t)
+                lambda t: _descriptor_dense(
+                    wdx, wdy, lx, ly, srel, t,
+                    cfg.descriptor_width, cfg.descriptor_bins,
+                )
             )(thetas)
             return thetas, th_ok, descs
 
@@ -485,9 +491,10 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
         thetas, th_ok, descs = jax.lax.map(
             lambda t: jax.vmap(per_kp)(*t), xs
         )
+        Dd = cfg.descriptor_width**2 * cfg.descriptor_bins
         thetas = thetas.reshape(cap_pad, 2)[:cap]
         th_ok = th_ok.reshape(cap_pad, 2)[:cap]
-        descs = descs.reshape(cap_pad, 2, 128)[:cap]
+        descs = descs.reshape(cap_pad, 2, Dd)[:cap]
         # expand: each candidate yields up to 2 oriented keypoints
         n_or = 2
         xy = jnp.stack([x_sub, y_sub], axis=-1) * stride  # to input pixels
@@ -495,7 +502,7 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
         scale = jnp.repeat((sigma_rel * stride)[:, None], n_or, axis=1).reshape(-1)
         theta = thetas.reshape(-1)
         respr = jnp.repeat(resp[:, None], n_or, axis=1).reshape(-1)
-        desc = descs.reshape(-1, 128)
+        desc = descs.reshape(-1, Dd)
         mask = (jnp.repeat(valid[:, None], n_or, axis=1) & th_ok).reshape(-1)
 
         all_xy.append(xy)
