@@ -120,6 +120,8 @@ def main(argv=None):
                     help="save the inscribed-crop bounding box overlay")
     ap.add_argument("--log", default=None)
     ap.add_argument("--cache", default=None, help="per-stage artifact cache dir (resume)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace into DIR")
     args = ap.parse_args(argv)
 
     from autopanostitch_tpu.utils import compile_cache
@@ -135,8 +137,11 @@ def main(argv=None):
         return 1
 
     def run():
-        for name, paths in datasets.items():
-            stitch_dataset(name, paths, cfg, args.out)
+        from autopanostitch_tpu.utils.timing import device_profile
+
+        with device_profile(args.profile):
+            for name, paths in datasets.items():
+                stitch_dataset(name, paths, cfg, args.out)
 
     if args.log:
         from autopanostitch_tpu.utils.timing import Tee

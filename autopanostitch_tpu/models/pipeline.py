@@ -254,30 +254,50 @@ def stitch(
         jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
     )
     cache = None
-    cache_key = None
+    key_feat = key_graph = key_ba = None
     if cache_dir:
         from autopanostitch_tpu.utils.cache import StageCache, fingerprint
 
         cache = StageCache(cache_dir)
-        cache_key = fingerprint(image_set.names, image_set.sizes, repr(cfg.detector))
-        cached = cache.load(cache_key, "features")
+        key_feat = fingerprint(image_set.names, image_set.sizes, repr(cfg.detector))
+        key_graph = fingerprint(
+            image_set.names, image_set.sizes,
+            repr(cfg.detector) + repr(cfg.matching) + repr(cfg.image_match)
+            + str(seed),
+        )
+        key_ba = fingerprint(
+            image_set.names, image_set.sizes,
+            repr(cfg.detector) + repr(cfg.matching) + repr(cfg.image_match)
+            + repr(cfg.bundle) + str(seed),
+        )
+        cached = cache.load(key_feat, "features")
         if cached is not None:
             from autopanostitch_tpu.ops.sift import SiftFeatures
 
             feats = SiftFeatures(**{k: jnp.asarray(v) for k, v in cached.items()})
         else:
             feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
-            cache.save(cache_key, "features",
+            cache.save(key_feat, "features",
                        **{f: np.asarray(getattr(feats, f)) for f in feats._fields})
     else:
         feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
 
-    pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
-    if len(pairs):
-        pairs, pair_idx, pair_mask = select_candidate_pairs(
-            pairs, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
-        )
-    graph = verify_matches(feats, pairs, pair_idx, pair_mask, counts, cfg, key)
+    graph = None
+    if cache is not None:
+        cg = cache.load(key_graph, "graph")
+        if cg is not None:
+            graph = MatchGraph(**{k: cg[k] for k in MatchGraph.__dataclass_fields__})
+    if graph is None:
+        pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
+        if len(pairs):
+            pairs, pair_idx, pair_mask = select_candidate_pairs(
+                pairs, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
+            )
+        graph = verify_matches(feats, pairs, pair_idx, pair_mask, counts, cfg, key)
+        if cache is not None:
+            cache.save(key_graph, "graph",
+                       **{k: np.asarray(getattr(graph, k))
+                          for k in MatchGraph.__dataclass_fields__})
 
     comps = connected_components(image_set.n, graph.pairs, graph.accepted)
 
@@ -309,7 +329,9 @@ def stitch(
                                           images_dev=images, feathers_dev=feathers)
         else:
             result = stitch_component(image_set, graph, feats, members, cfg,
-                                      images_dev=images, feathers_dev=feathers)
+                                      images_dev=images, feathers_dev=feathers,
+                                      cache=cache, cache_key=key_ba,
+                                      cache_label=int(label))
         panoramas.append(result)
 
     return StitchResult(panoramas=panoramas, graph=graph, components=comps, features=feats)
@@ -433,24 +455,63 @@ def stitch_component(
     cfg: StitchConfig,
     images_dev=None,
     feathers_dev=None,
+    cache=None,
+    cache_key=None,
+    cache_label=None,
 ) -> Dict:
     """Bundle-adjust, straighten, gain-compensate and render one panorama
     component (the per-component body of `recognizePanoramas` +
-    `displayPanorama` in the reference)."""
+    `displayPanorama` in the reference).
+
+    When a StageCache is provided, the BA stage result (cameras, planar
+    classification) is cached per component so a re-run resumes directly at
+    the render stage."""
     acc = graph.accepted
-    ba = bundle_stage.run_bundle_adjustment(
-        members,
-        graph.pairs[acc],
-        graph.pair_idx[acc],
-        graph.pair_mask[acc],
-        graph.inliers[acc],
-        graph.H[acc],
-        np.asarray(feats.xy),
-        graph.counts,
-        image_set.sizes,
-        cfg.bundle,
-        force_planar=cfg.straighten.force_planar_scan,
-    )
+    ba = None
+    if cache is not None:
+        c = cache.load(cache_key, f"ba{cache_label}")
+        if c is not None:
+            ba = {
+                "members": c["members"],
+                "pairs": c["pairs"],
+                "pair_sel": c["pair_sel"],
+                "focal_init": float(c["focal_init"]),
+                "seed": int(c["seed"]),
+                "no_rotation": bool(c["no_rotation"]),
+                "rot_consistency_deg": tuple(c["rot_consistency_deg"]),
+                "cameras": bundle_stage.Cameras(
+                    R=jnp.asarray(c["cam_R"]), f=jnp.asarray(c["cam_f"]),
+                    cx=jnp.asarray(c["cam_cx"]), cy=jnp.asarray(c["cam_cy"]),
+                ),
+            }
+    if ba is None:
+        ba = bundle_stage.run_bundle_adjustment(
+            members,
+            graph.pairs[acc],
+            graph.pair_idx[acc],
+            graph.pair_mask[acc],
+            graph.inliers[acc],
+            graph.H[acc],
+            np.asarray(feats.xy),
+            graph.counts,
+            image_set.sizes,
+            cfg.bundle,
+            force_planar=cfg.straighten.force_planar_scan,
+        )
+        if cache is not None:
+            cams = ba["cameras"]
+            cache.save(
+                cache_key, f"ba{cache_label}",
+                members=np.asarray(ba["members"]),
+                pairs=np.asarray(ba["pairs"]),
+                pair_sel=np.asarray(ba["pair_sel"]),
+                focal_init=np.float64(ba["focal_init"]),
+                seed=np.int64(ba["seed"]),
+                no_rotation=np.bool_(ba["no_rotation"]),
+                rot_consistency_deg=np.asarray(ba["rot_consistency_deg"]),
+                cam_R=np.asarray(cams.R), cam_f=np.asarray(cams.f),
+                cam_cx=np.asarray(cams.cx), cam_cy=np.asarray(cams.cy),
+            )
 
     sizes = image_set.sizes[members]
     n = len(members)

@@ -22,6 +22,24 @@ def sync(tree):
     return tree
 
 
+@contextlib.contextmanager
+def device_profile(trace_dir: Optional[str]):
+    """Capture a `jax.profiler` device trace into trace_dir (view with
+    TensorBoard / Perfetto). No-op when trace_dir is None — the zero-cost
+    default, like the reference's optional verbose instrumentation.
+
+    >>> with device_profile("/tmp/trace"):
+    ...     result = pipeline.stitch(...)
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
 class StageTimer:
     """Collects named stage durations and prints a report.
 

@@ -44,6 +44,19 @@ def test_pipeline_feature_cache(tmp_path):
     )
     r1 = pipeline.stitch(iset, cfg, cache_dir=str(tmp_path))
     assert len(list(tmp_path.glob("*_features.npz"))) == 1
+    assert len(list(tmp_path.glob("*_graph.npz"))) == 1
+    assert len(list(tmp_path.glob("*_ba*.npz"))) == 1
     r2 = pipeline.stitch(iset, cfg, cache_dir=str(tmp_path))  # loads from cache
     np.testing.assert_array_equal(np.asarray(r1.features.xy), np.asarray(r2.features.xy))
+    np.testing.assert_array_equal(r1.graph.H, r2.graph.H)
+    np.testing.assert_array_equal(r1.graph.accepted, r2.graph.accepted)
     assert len(r2.panoramas) == 1
+    # cached BA reproduces the cameras / planar classification
+    p1, p2 = r1.panoramas[0], r2.panoramas[0]
+    assert p1["ba"]["no_rotation"] == p2["ba"]["no_rotation"]
+    np.testing.assert_allclose(
+        np.asarray(p1["ba"]["cameras"].R), np.asarray(p2["ba"]["cameras"].R)
+    )
+    # final output identical from a warm cache
+    for mode in p1["projections"]:
+        np.testing.assert_array_equal(p1["projections"][mode], p2["projections"][mode])
