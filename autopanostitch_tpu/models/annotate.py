@@ -79,6 +79,91 @@ def warped_boxes_planar(H_abs: np.ndarray, sizes: np.ndarray, offset, scale: flo
     return boxes, np.stack(centers)
 
 
+def _to_pil(img: np.ndarray):
+    from PIL import Image
+
+    return Image.fromarray(img if img.dtype == np.uint8 else
+                           (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+
+def draw_keypoints(image: np.ndarray, xy: np.ndarray, mask: np.ndarray,
+                   scale: np.ndarray | None = None) -> np.ndarray:
+    """Keypoint overlay (reference `showKeypointsPlot`, `inputs.m:119`):
+    a circle per keypoint, radius = detected scale when given."""
+    from PIL import ImageDraw
+
+    img = _to_pil(image)
+    draw = ImageDraw.Draw(img)
+    xy = np.asarray(xy)[np.asarray(mask)]
+    r = (3.0 * np.asarray(scale)[np.asarray(mask)]
+         if scale is not None else np.full(len(xy), 3.0))
+    for (x, y), rad in zip(xy, r):
+        rad = float(min(max(rad, 2.0), 40.0))
+        draw.ellipse([x - rad, y - rad, x + rad, y + rad],
+                     outline=(0, 255, 0), width=1)
+    return np.asarray(img)
+
+
+def draw_matches(img_i: np.ndarray, img_j: np.ndarray, xy_i: np.ndarray,
+                 xy_j: np.ndarray, inlier: np.ndarray | None = None) -> np.ndarray:
+    """Side-by-side correspondence plot (reference `showMatchedFeatures`
+    montage in `imageMatching.m:257-270`): inliers green, outliers red."""
+    from PIL import ImageDraw
+
+    a, b = _to_pil(img_i), _to_pil(img_j)
+    H = max(a.height, b.height)
+    canvas = np.zeros((H, a.width + b.width, 3), np.uint8)
+    canvas[: a.height, : a.width] = np.asarray(a)
+    canvas[: b.height, a.width :] = np.asarray(b)
+    img = _to_pil(canvas)
+    draw = ImageDraw.Draw(img)
+    xy_i = np.asarray(xy_i)
+    xy_j = np.asarray(xy_j) + np.array([a.width, 0.0])
+    if inlier is None:
+        inlier = np.ones(len(xy_i), bool)
+    for (p, q, ok) in zip(xy_i, xy_j, np.asarray(inlier)):
+        color = (0, 220, 0) if ok else (230, 40, 40)
+        draw.line([tuple(p), tuple(q)], fill=color, width=1)
+        draw.ellipse([p[0] - 2, p[1] - 2, p[0] + 2, p[1] + 2], outline=color)
+        draw.ellipse([q[0] - 2, q[1] - 2, q[0] + 2, q[1] + 2], outline=color)
+    return np.asarray(img)
+
+
+def draw_adjacency_graph(pairs: np.ndarray, accepted: np.ndarray,
+                         num_inliers: np.ndarray, n_images: int,
+                         components: np.ndarray | None = None,
+                         size: int = 640) -> np.ndarray:
+    """Image-match adjacency graph plot (reference `recognizePanoramas.m
+    showAdjacencyGraph :180-237`): nodes on a circle colored by panorama
+    component, accepted edges weighted by inlier count."""
+    from PIL import ImageDraw
+
+    img = _to_pil(np.full((size, size, 3), 255, np.uint8))
+    draw = ImageDraw.Draw(img)
+    cx = cy = size / 2.0
+    rad = size * 0.42
+    ang = 2 * np.pi * np.arange(n_images) / max(n_images, 1)
+    px = cx + rad * np.cos(ang)
+    py = cy + rad * np.sin(ang)
+    if components is None:
+        components = np.zeros(n_images, np.int64)
+    comp_ids = {c: k for k, c in enumerate(np.unique(components))}
+    colors = bright_colors(len(comp_ids), seed=3)
+    wmax = max(int(np.max(num_inliers[accepted])) if np.any(accepted) else 1, 1)
+    for p, (i, j) in enumerate(np.asarray(pairs)):
+        if not accepted[p]:
+            continue
+        w = 1 + int(4 * num_inliers[p] / wmax)
+        draw.line([(px[i], py[i]), (px[j], py[j])], fill=(120, 120, 120), width=w)
+    r = max(size // 80, 4)
+    for k in range(n_images):
+        c = tuple(int(v) for v in colors[comp_ids[int(components[k])]])
+        draw.ellipse([px[k] - r, py[k] - r, px[k] + r, py[k] + r],
+                     fill=c, outline=(0, 0, 0))
+        draw.text((px[k] + r + 2, py[k] - r), str(k), fill=(0, 0, 0))
+    return np.asarray(img)
+
+
 def draw_annotations(pano: np.ndarray, boxes, centers, labels=None, crop_rect=None):
     """Draw polygons + labels (+ crop box) on a uint8 panorama copy."""
     from PIL import Image, ImageDraw

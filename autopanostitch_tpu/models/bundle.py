@@ -734,6 +734,7 @@ def run_incremental_ba(
 
     state = [R_d, f_d]
     cost = jnp.float32(0.0)
+    phase_costs = []  # (upto, device cost, active pair count) — synced ONCE
     for upto in steps:
         # reset lambda per phase like the reference (each incremental step
         # calls runLevenbergMarquardt afresh, `bundleAdjustmentRKf.m:304-306`)
@@ -742,6 +743,10 @@ def run_incremental_ba(
             jnp.float32(cfg.lambda0),
         )
         state = [R_new, f_new]
+        in_act = np.zeros(n, bool)
+        in_act[order[:upto]] = True
+        npair = int(np.count_nonzero(in_act[loc_pairs[:, 0]] & in_act[loc_pairs[:, 1]]))
+        phase_costs.append((upto, cost, npair))
         if verbose:
             print(f"  phase n={upto}: cost={float(cost):.1f} lam={float(lam):.2e} acc={int(nacc)}/{cfg.incremental_lm_iters}")
     # Final passes run WITHOUT the focal smoothness/mean coupling: the
@@ -757,6 +762,29 @@ def run_incremental_ba(
         state = [R_new, f_new]
         if verbose:
             print(f"  final frac={frac}: cost={float(cost):.1f} lam={float(lam):.2e} acc={int(nacc)}/{final_iters}")
+
+    # RMSE-history anomaly check (`bundleAdjustmentRKf.m:308-325`): a phase
+    # whose per-match RMSE jumps >2.5x the running median flags a
+    # problematic camera addition. Costs are pulled in ONE deferred sync
+    # here instead of per phase (each host sync through the TPU relay is
+    # ~27 ms; the reference checks inline because MATLAB is already
+    # synchronous).
+    rmse_hist = []
+    for upto, c, npair in phase_costs:
+        rmse = float(np.sqrt(max(float(c), 0.0) / max(npair, 1)))
+        if len(rmse_hist) > 3:
+            med = float(np.median(rmse_hist))
+            if med > 0 and rmse > 2.5 * med:
+                import warnings
+
+                warnings.warn(
+                    f"bundle adjustment: elevated phase RMSE {rmse:.3f} at "
+                    f"n={upto} cameras (median {med:.3f}, "
+                    f"{rmse / med:.1f}x) — possible bad camera addition",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        rmse_hist.append(rmse)
     return state[0], state[1], cost
 
 

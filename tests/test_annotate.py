@@ -78,3 +78,37 @@ def test_compose_none_policies():
     # maxangle picks per-pixel the better-facing source: both values present
     ma = outs["none-maxangle"][ys, xs, 0]
     assert (ma < 100).any() and (ma > 150).any()
+
+
+def test_draw_keypoints_overlay():
+    img = np.full((64, 80, 3), 30, np.uint8)
+    xy = np.array([[10.0, 12.0], [40.0, 30.0], [70.0, 50.0]])
+    mask = np.array([True, True, False])
+    out = annotate.draw_keypoints(img, xy, mask, scale=np.array([1.0, 2.0, 3.0]))
+    assert out.shape == img.shape
+    assert (out != img).any()  # circles drawn
+    # masked keypoint area untouched
+    assert (out[44:56, 64:76] == 30).all()
+
+
+def test_draw_matches_side_by_side():
+    a = np.full((50, 60, 3), 20, np.uint8)
+    b = np.full((40, 70, 3), 40, np.uint8)
+    xy_i = np.array([[5.0, 5.0], [30.0, 20.0]])
+    xy_j = np.array([[10.0, 8.0], [35.0, 22.0]])
+    out = annotate.draw_matches(a, b, xy_i, xy_j, inlier=np.array([True, False]))
+    assert out.shape == (50, 130, 3)
+    g = (out[..., 1] > 180) & (out[..., 0] < 100)  # green inlier line
+    r = (out[..., 0] > 180) & (out[..., 1] < 100)  # red outlier line
+    assert g.any() and r.any()
+
+
+def test_draw_adjacency_graph():
+    pairs = np.array([[0, 1], [1, 2], [0, 3]])
+    accepted = np.array([True, True, False])
+    inl = np.array([40, 10, 0])
+    comps = np.array([0, 0, 0, 7])
+    out = annotate.draw_adjacency_graph(pairs, accepted, inl, 4, comps)
+    assert out.shape == (640, 640, 3)
+    grey = (np.abs(out.astype(int) - 120) < 10).all(axis=-1)
+    assert grey.any()  # edges drawn
