@@ -632,6 +632,7 @@ def stitch_component(
             angle_power=cfg.render.angle_power,
             sizes=sizes,
             interp=cfg.render.interpolation,
+            max_contributors=cfg.render.max_contributors,
         )
         projections[mode] = pano
         result.setdefault("canvas", {})[mode] = canvas

@@ -270,7 +270,7 @@ def verify_pairs(
     batch: int = 512,
     accept_alpha: float = 8.0,
     accept_beta: float = 0.3,
-    chunk: int = 16,
+    chunk: int = 64,
     total: int | None = None,
 ):
     """Verify P candidate pairs with batched RANSAC + Brown-Lowe acceptance.

@@ -76,7 +76,11 @@ def _cubic_kernel(t: Array, a: float = -0.5) -> Array:
 
 
 def sample_bicubic(img: Array, x: Array, y: Array):
-    """Bicubic (Keys a=-0.5) sampling with out-of-bounds masking."""
+    """Bicubic (Keys a=-0.5) sampling with out-of-bounds masking.
+
+    (A/B'd on v5e: one stacked 16-tap gather measured the same as the 16
+    separate taps below — the sampler is throughput-bound on total gathered
+    points either way, so the simpler form stays.)"""
     H, W = img.shape[0], img.shape[1]
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)

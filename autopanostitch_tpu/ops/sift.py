@@ -136,24 +136,23 @@ def build_pyramid(img: Array, cfg: DetectorConfig):
 # ---------------------------------------------------------------------------
 
 def _extrema_mask(dog: Array, contrast_threshold: float) -> Array:
-    """(S+2, H, W) -> (S, H, W) bool: strict 26-neighbour extrema of the
-    middle S layers, with Lowe's 0.8*threshold pre-filter."""
-    S2, H, W = dog.shape
+    """(S+2, H, W) -> (S, H, W) bool: 26-neighbour extrema of the middle S
+    layers, with Lowe's 0.8*threshold pre-filter.
+
+    One 3x3x3 max/min reduce_window pair instead of 26 rolled comparisons
+    (the rolls materialized 26 full DoG copies). `center == window max`
+    admits exact float ties with a neighbour where the strict form would
+    not — measure-zero on real DoG data."""
     center = dog[1:-1]  # (S, H, W)
     pre = jnp.abs(center) > 0.8 * contrast_threshold
 
-    is_max = jnp.ones_like(pre)
-    is_min = jnp.ones_like(pre)
-    for ds in (-1, 0, 1):
-        layer = dog[1 + ds : S2 - 1 + ds]  # (S, H, W)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                nb = jnp.roll(layer, shift=(-dy, -dx), axis=(1, 2))
-                is_max = is_max & (center > nb)
-                is_min = is_min & (center < nb)
-    ext = (is_max | is_min) & pre
+    mx = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )[1:-1]
+    mn = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )[1:-1]
+    ext = ((center >= mx) | (center <= mn)) & pre
     # kill the 1-px border (roll wraps) and a safety margin for descriptors
     b = 4
     ext = ext.at[:, :b, :].set(False).at[:, -b:, :].set(False)
@@ -328,13 +327,15 @@ def _soft_bins(vals: Array, nb: int, circular: bool):
 
 
 def _orientation_hist_dense(wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array):
-    """36-bin orientation histogram over a dense window.
+    """36-bin orientation histogram over a dense (rect) window.
 
     Every window pixel contributes mag * gaussian(r) to its angle bin —
     Lowe's formulation exactly, vectorized over the window (no gathers).
+    The keypoint sits at (lx, ly) anywhere inside the window; pixels beyond
+    the 3*1.5*sigma radius are masked, so off-center windows are exact.
     """
-    W = wdx.shape[0]
-    wy, wx = jnp.mgrid[0:W, 0:W]
+    Hw, Ww = wdx.shape
+    wy, wx = jnp.mgrid[0:Hw, 0:Ww]
     rx = wx.astype(jnp.float32) - lx
     ry = wy.astype(jnp.float32) - ly
     r2 = rx * rx + ry * ry
@@ -386,12 +387,14 @@ def _descriptor_dense(
     defaults d=4, nbins=8, `DetectorConfig.descriptor_width/bins`): each
     window pixel soft-assigns into the rotated (d, d, nbins) grid; the
     trilinear scatter is the MXU contraction
-    desc[r,c,o] = sum_p w_p R[p,r] C[p,c] O[p,o]."""
-    W = wdx.shape[0]
+    desc[r,c,o] = sum_p w_p R[p,r] C[p,c] O[p,o]. The keypoint sits at
+    (lx, ly) anywhere inside the (rect) window; pixels outside the rotated
+    d x d cell grid soft-bin to zero, so off-center windows are exact."""
+    Hw, Ww = wdx.shape
     cell = _DESC_SCALE_FACTOR * sigma_rel
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
-    wy, wx = jnp.mgrid[0:W, 0:W]
+    wy, wx = jnp.mgrid[0:Hw, 0:Ww]
     rx = wx.astype(jnp.float32) - lx
     ry = wy.astype(jnp.float32) - ly
     # rotate into the descriptor frame, in cell units
@@ -425,11 +428,241 @@ def _descriptor_dense(
 
 
 # ---------------------------------------------------------------------------
-# Full per-image extraction
+# Batched extraction (batch-first: detection vmapped per image, per-keypoint
+# window phases run over the FLATTENED (image, candidate) axis so the
+# Pallas DMA window-gather kernel serves a whole image group per call)
 # ---------------------------------------------------------------------------
 
 def _octave_caps(cfg: DetectorConfig):
     return [max(128, cfg.max_keypoints >> o) for o in range(cfg.num_octaves)]
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _use_pallas_gather() -> bool:
+    """Window fetch path: False = XLA dynamic_slice over the flat
+    (image, candidate) axis; True = the Pallas DMA kernel
+    (ops/pallas/window_gather.py).
+
+    Measured on v5e at 100 images: the flat 5-D dynamic_slice formulation
+    here lowers well (1.46 s full extract), while the per-image vmapped
+    4-slice formulation it replaced hit a pathological gather (2.26 s).
+    The Pallas kernel fetches windows at ~60 GB/s but Mosaic's (8, 128)
+    slice-alignment rule forces (win+8, 256)-shaped slabs, and the extra
+    window area costs more VPU arithmetic than the fetch saves (2.55 s
+    end-to-end). XLA stays the default; the kernel remains wired for
+    toolchains where the tradeoff flips."""
+    return False
+
+
+def _map_per_kp(fn, dxy, lev, yc, xc, args, rows, cols, use_pallas, chunk):
+    """Apply fn(wdx, wdy, *args_k) to a gradient window per keypoint.
+
+    dxy: (G, 2, S3, Hp, Wp) per-image gradient stacks (pallas path:
+    Hp % 8 == 0, Wp % 128 == 0). lev/yc/xc: (G, Kc) int32 window level and
+    top-left corner (pre-aligned for pallas). args: extra (G, Kc, ...)
+    per-keypoint arrays. Work runs in chunks of `chunk` keypoints over the
+    flattened (G * Kc) axis (lax.map bounds the window working set).
+    Returns a pytree with leaves (G, Kc, ...).
+    """
+    G, _, S3, Hp, Wp = dxy.shape
+    Kc = lev.shape[1]
+    Ktot = G * Kc
+    Kpad = _ceil_to(Ktot, chunk)
+
+    def flat(x):
+        x = x.reshape(Ktot, *x.shape[2:])
+        return jnp.pad(x, [(0, Kpad - Ktot)] + [(0, 0)] * (x.ndim - 1))
+
+    img_of = jnp.arange(G, dtype=jnp.int32)[:, None] * S3
+    lev_f = flat(img_of + lev)  # combined (image, level) index
+    y_f = flat(yc)
+    x_f = flat(xc)
+    args_f = tuple(flat(a) for a in args)
+    nch = Kpad // chunk
+
+    if use_pallas:
+        from autopanostitch_tpu.ops.pallas.window_gather import gather_windows
+
+        src = dxy.transpose(1, 0, 2, 3, 4).reshape(2, G * S3, Hp, Wp)
+
+        def body(xs_c):
+            lev_c, y_c, x_c, *args_c = xs_c
+            wins = gather_windows(src, lev_c, y_c, x_c, rows, cols)
+            return jax.vmap(lambda w, *a: fn(w[0], w[1], *a))(wins, *args_c)
+    else:
+
+        def body(xs_c):
+            lev_c, y_c, x_c, *args_c = xs_c
+
+            def one(lf, y, x, *a):
+                g = lf // S3
+                l = lf % S3
+                win = jax.lax.dynamic_slice(
+                    dxy, (g, 0, l, y, x), (1, 2, 1, rows, cols)
+                )[0, :, 0]
+                return fn(win[0], win[1], *a)
+
+            return jax.vmap(one)(lev_c, y_c, x_c, *args_c)
+
+    xs = tuple(
+        v.reshape(nch, chunk, *v.shape[1:]) for v in (lev_f, y_f, x_f) + args_f
+    )
+    out = jax.lax.map(body, xs)
+    return jax.tree_util.tree_map(
+        lambda v: v.reshape(Kpad, *v.shape[2:])[:Ktot].reshape(
+            G, Kc, *v.shape[2:]
+        ),
+        out,
+    )
+
+
+def _extract_group(imgs: Array, cfg: DetectorConfig) -> SiftFeatures:
+    """Full SIFT on a (G, H, W) grayscale group; SiftFeatures (G, K, ...).
+
+    Per-candidate pipeline (measured layout, see _use_pallas_gather and the
+    phase split note): detection vmapped per image; orientation phase on a
+    small window (the histogram gaussian is zero beyond 3*1.5*sigma); top
+    `cap` ORIENTED candidates selected per octave (most secondary
+    orientations fail the 0.8-peak test); descriptor phase computes ONE
+    descriptor per selected oriented keypoint.
+    """
+    G = imgs.shape[0]
+    use_pallas = _use_pallas_gather()
+    # chunk: keypoints per lax.map step in the window phases. Pallas needs
+    # the SMEM scalar-block quantum (1024); the XLA path measured fastest
+    # at 256 on both TPU (1024 was 15% slower) and CPU.
+    chunk = 1024 if use_pallas else 256
+    s = cfg.num_layers_in_octave
+    k = 2.0 ** (1.0 / s)
+
+    # vmapped pyramids; stride is static per octave (kept out of the vmap)
+    octaves = jax.vmap(
+        lambda im: [
+            {"gauss": d["gauss"], "dog": d["dog"]} for d in build_pyramid(im, cfg)
+        ]
+    )(imgs)
+
+    parts = []  # per octave: dict of (G, cap, ...) arrays
+    for o, octv in enumerate(octaves):
+        cap = _octave_caps(cfg)[min(o, cfg.num_octaves - 1)]
+        stride = 2 ** o
+        x_sub, y_sub, layer, resp, valid, si = jax.vmap(
+            lambda oc: _detect_octave(oc, cfg, cap)
+        )(octv)  # leaves (G, cap)
+
+        gauss = octv["gauss"]  # (G, S3, Ho, Wo)
+        dx, dy = jax.vmap(_grad_maps)(gauss)
+        dxy = jnp.stack([dx, dy], axis=1)  # (G, 2, S3, Ho, Wo)
+        sigma_rel = cfg.sigma * jnp.power(k, layer)
+        level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[1] - 1)
+
+        Ho, Wo = gauss.shape[2:]
+        Wwin = min(80, (min(Ho, Wo) // 8) * 8)
+        r_ori = _ORI_RADIUS_FACTOR * _ORI_SIGMA_FACTOR * 2.0 * cfg.sigma
+        Wori = min(Wwin, _ceil_to(int(2 * r_ori + 2), 8))
+
+        if use_pallas:
+            from autopanostitch_tpu.ops.pallas.window_gather import aligned_starts
+
+            Hp, Wp = _ceil_to(Ho, 8), _ceil_to(Wo, 128)
+            dxy_p = jnp.pad(
+                dxy, ((0, 0), (0, 0), (0, 0), (0, Hp - Ho), (0, Wp - Wo))
+            )
+        else:
+            Hp, Wp, dxy_p = Ho, Wo, dxy
+
+        def corners(win, xq, yq):
+            cx = jnp.clip(
+                jnp.round(xq).astype(jnp.int32) - win // 2, 0, max(Wp - win, 0)
+            )
+            cy = jnp.clip(
+                jnp.round(yq).astype(jnp.int32) - win // 2, 0, max(Hp - win, 0)
+            )
+            if use_pallas:
+                cy, cx, rows, cols = aligned_starts(cy, cx, win, Hp, Wp)
+                return cy, cx, rows, cols
+            return cy, cx, win, win
+
+        # ---- orientation phase (small window) ----
+        oy, ox, orows, ocols = corners(Wori, x_sub, y_sub)
+        lx = x_sub - ox.astype(jnp.float32)
+        ly = y_sub - oy.astype(jnp.float32)
+
+        def fn_ori(wdx, wdy, lxk, lyk, srel):
+            hist = _orientation_hist_dense(wdx, wdy, lxk, lyk, srel)
+            return _dominant_orientations(hist)
+
+        thetas, th_ok = _map_per_kp(
+            fn_ori, dxy_p, level, oy, ox, (lx, ly, sigma_rel),
+            orows, ocols, use_pallas, chunk,
+        )  # (G, cap, 2) each
+
+        # ---- oriented-candidate selection: top cap of the 2*cap
+        # (theta, kp) combinations by DoG response ----
+        ok2 = valid[:, :, None] & th_ok
+        score2 = jnp.where(ok2, resp[:, :, None], -1.0).reshape(G, -1)
+        svals, sidx = jax.lax.top_k(score2, cap)  # (G, cap)
+        ci = sidx // 2
+        sel_ok = svals > 0
+        take = lambda a: jnp.take_along_axis(a, ci, axis=1)  # noqa: E731
+        xs_s, ys_s = take(x_sub), take(y_sub)
+        lv_s, sr_s = take(level), take(sigma_rel)
+        th_s = jnp.take_along_axis(thetas.reshape(G, -1), sidx, axis=1)
+
+        # ---- descriptor phase (one descriptor per selected keypoint) ----
+        dyc, dxc, drows, dcols = corners(Wwin, xs_s, ys_s)
+        lx2 = xs_s - dxc.astype(jnp.float32)
+        ly2 = ys_s - dyc.astype(jnp.float32)
+
+        def fn_desc(wdx, wdy, lxk, lyk, srel, theta):
+            return _descriptor_dense(
+                wdx, wdy, lxk, lyk, srel, theta,
+                cfg.descriptor_width, cfg.descriptor_bins,
+            )
+
+        desc = _map_per_kp(
+            fn_desc, dxy_p, lv_s, dyc, dxc, (lx2, ly2, sr_s, th_s),
+            drows, dcols, use_pallas, chunk,
+        )  # (G, cap, D)
+
+        parts.append(
+            dict(
+                xy=jnp.stack([xs_s, ys_s], axis=-1) * stride,
+                scale=sr_s * stride,
+                theta=th_s,
+                resp=jnp.where(sel_ok, svals, 0.0),
+                desc=desc,
+                mask=sel_ok,
+            )
+        )
+
+    cat = {key: jnp.concatenate([p[key] for p in parts], axis=1) for key in parts[0]}
+
+    # final per-image selection: top max_keypoints by response among valid
+    K = cfg.max_keypoints
+    score = jnp.where(cat["mask"], cat["resp"], -1.0)  # (G, Ktot)
+    top_vals, top_idx = jax.lax.top_k(score, K)
+    sel_mask = top_vals > 0
+    take2 = lambda a: jnp.take_along_axis(a, top_idx, axis=1)  # noqa: E731
+    return SiftFeatures(
+        xy=jnp.where(
+            sel_mask[..., None],
+            jnp.take_along_axis(cat["xy"], top_idx[..., None], axis=1),
+            0.0,
+        ),
+        scale=jnp.where(sel_mask, take2(cat["scale"]), 1.0),
+        orientation=jnp.where(sel_mask, take2(cat["theta"]), 0.0),
+        response=jnp.where(sel_mask, top_vals, 0.0),
+        desc=jnp.where(
+            sel_mask[..., None],
+            jnp.take_along_axis(cat["desc"], top_idx[..., None], axis=1),
+            0.0,
+        ),
+        mask=sel_mask,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -439,100 +672,8 @@ def extract(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
     Returns SiftFeatures with capacity cfg.max_keypoints (top responses
     across octaves and orientations; invalid slots masked).
     """
-    octaves = build_pyramid(img, cfg)
-    s = cfg.num_layers_in_octave
-    k = 2.0 ** (1.0 / s)
-
-    all_xy, all_scale, all_theta, all_resp, all_desc, all_mask = [], [], [], [], [], []
-
-    for o, octv in enumerate(octaves):
-        cap = _octave_caps(cfg)[min(o, cfg.num_octaves - 1)]
-        x_sub, y_sub, layer, resp, valid, si = _detect_octave(octv, cfg, cap)
-
-        gauss = octv["gauss"]
-        dx, dy = _grad_maps(gauss)
-        stride = octv["stride"]
-
-        # sigma relative to this octave (for window sizes on this grid)
-        sigma_rel = cfg.sigma * jnp.power(k, layer)
-        # gradient maps at the (integer) gaussian level closest to the layer
-        level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[0] - 1)
-
-        # dense window size: must cover the descriptor radius
-        # 3*sigma*sqrt(2)*(d+1)/2 ~ 10.6*sigma at the octave's max sigma
-        Ho, Wo = gauss.shape[1:]
-        Wwin = min(80, (min(Ho, Wo) // 8) * 8)
-
-        def per_kp(xi, yi, lev, srel):
-            wdx, cx, cy = _slice_window(dx, lev, xi, yi, Wwin)
-            wdy, _, _ = _slice_window(dy, lev, xi, yi, Wwin)
-            lx = xi - cx.astype(jnp.float32)
-            ly = yi - cy.astype(jnp.float32)
-            hist = _orientation_hist_dense(wdx, wdy, lx, ly, srel)
-            thetas, th_ok = _dominant_orientations(hist)
-            descs = jax.vmap(
-                lambda t: _descriptor_dense(
-                    wdx, wdy, lx, ly, srel, t,
-                    cfg.descriptor_width, cfg.descriptor_bins,
-                )
-            )(thetas)
-            return thetas, th_ok, descs
-
-        # chunk over candidates (a 1024 x 80 x 80 x 2 window stack is fine;
-        # lax.map bounds it regardless of octave capacity)
-        chunk = 256
-        cap_pad = ((cap + chunk - 1) // chunk) * chunk
-
-        def pad_to(x):
-            return jnp.pad(x, [(0, cap_pad - cap)] + [(0, 0)] * (x.ndim - 1))
-
-        xs = (pad_to(x_sub), pad_to(y_sub), pad_to(level), pad_to(sigma_rel))
-        xs = tuple(v.reshape(cap_pad // chunk, chunk) for v in xs)
-        thetas, th_ok, descs = jax.lax.map(
-            lambda t: jax.vmap(per_kp)(*t), xs
-        )
-        Dd = cfg.descriptor_width**2 * cfg.descriptor_bins
-        thetas = thetas.reshape(cap_pad, 2)[:cap]
-        th_ok = th_ok.reshape(cap_pad, 2)[:cap]
-        descs = descs.reshape(cap_pad, 2, Dd)[:cap]
-        # expand: each candidate yields up to 2 oriented keypoints
-        n_or = 2
-        xy = jnp.stack([x_sub, y_sub], axis=-1) * stride  # to input pixels
-        xy = jnp.repeat(xy[:, None, :], n_or, axis=1).reshape(-1, 2)
-        scale = jnp.repeat((sigma_rel * stride)[:, None], n_or, axis=1).reshape(-1)
-        theta = thetas.reshape(-1)
-        respr = jnp.repeat(resp[:, None], n_or, axis=1).reshape(-1)
-        desc = descs.reshape(-1, Dd)
-        mask = (jnp.repeat(valid[:, None], n_or, axis=1) & th_ok).reshape(-1)
-
-        all_xy.append(xy)
-        all_scale.append(scale)
-        all_theta.append(theta)
-        all_resp.append(respr)
-        all_desc.append(desc)
-        all_mask.append(mask)
-
-    xy = jnp.concatenate(all_xy)
-    scale = jnp.concatenate(all_scale)
-    theta = jnp.concatenate(all_theta)
-    resp = jnp.concatenate(all_resp)
-    desc = jnp.concatenate(all_desc)
-    mask = jnp.concatenate(all_mask)
-
-    # final selection: top max_keypoints by response among valid
-    K = cfg.max_keypoints
-    score = jnp.where(mask, resp, -1.0)
-    top_vals, top_idx = jax.lax.top_k(score, K)
-    sel_mask = top_vals > 0
-    out = SiftFeatures(
-        xy=jnp.where(sel_mask[:, None], xy[top_idx], 0.0),
-        scale=jnp.where(sel_mask, scale[top_idx], 1.0),
-        orientation=jnp.where(sel_mask, theta[top_idx], 0.0),
-        response=jnp.where(sel_mask, top_vals, 0.0),
-        desc=jnp.where(sel_mask[:, None], desc[top_idx], 0.0),
-        mask=sel_mask,
-    )
-    return out
+    feats = _extract_group(img[None], cfg)
+    return jax.tree_util.tree_map(lambda x: x[0], feats)
 
 
 @partial(jax.jit, static_argnames=("cfg", "group"))
@@ -541,11 +682,10 @@ def extract_batch(
 ) -> SiftFeatures:
     """Batched SIFT over same-size grayscale images (N, H, W).
 
-    The TPU-native replacement for the reference's per-image parfor
-    (`loadImages.m:82-99`). Images run `group` at a time (vmap inside a
-    lax.map) so the per-keypoint window working set stays bounded at
-    ~group x chunk x window regardless of N (a flat vmap over 100 images
-    needs >20 GB of HBM for the descriptor intermediates).
+    The TPU-native replacement for the reference\'s per-image parfor
+    (`loadImages.m:82-99`). Images run `group` at a time (lax.map over
+    groups) so the per-keypoint window working set stays bounded at
+    ~chunk x window regardless of N.
     """
     N = imgs.shape[0]
     G = max(1, min(group, N))
@@ -553,13 +693,15 @@ def extract_batch(
     Npad = ngroups * G
     imgs_p = jnp.pad(imgs, ((0, Npad - N), (0, 0), (0, 0)))
     feats = jax.lax.map(
-        lambda ims: jax.vmap(lambda im: extract(im, cfg))(ims),
+        lambda ims: _extract_group(ims, cfg),
         imgs_p.reshape(ngroups, G, *imgs.shape[1:]),
     )
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((Npad,) + x.shape[2:])[:N], feats
     )
     return flat
+
+
 
 
 def rgb_to_gray(img: Array) -> Array:

@@ -114,7 +114,9 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     cfg = StitchConfig(
         detector=DetectorConfig(max_keypoints=512, num_octaves=3),
         matching=MatchingConfig(max_matches_per_pair=256),
-        image_match=ImageMatchConfig(ransac_batch=256),
+        # 256 RANSAC trials: the clean synthetic ring has ~80% inlier pairs,
+        # where the adaptive formula needs ~14 trials — 256 is ample margin
+        image_match=ImageMatchConfig(ransac_batch=256, max_iter=256),
         straighten=StraightenConfig(enabled=False),
         render=RenderConfig(projections=("spherical",), interpolation="bicubic"),
         blend=BlendConfig(mode="multiband"),
@@ -125,6 +127,16 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     t0 = time.time()
     res = pipeline.stitch(iset, cfg)
     steady_s = time.time() - t0
+    # device-resident input: excludes the host->device upload, which on this
+    # harness runs through the axon relay at ~30 MB/s (a real v5e host moves
+    # the 33 MB stack in milliseconds over PCIe)
+    import jax.numpy as jnp
+
+    iset_dev = ImageSet(images=jnp.asarray(stack), sizes=sizes, names=iset.names)
+    pipeline.stitch(iset_dev, cfg)
+    t0 = time.time()
+    pipeline.stitch(iset_dev, cfg)
+    dev_s = time.time() - t0
 
     pr = res.panoramas[0]
     pano = pr["projections"]["spherical"]
@@ -150,6 +162,7 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     f_est = np.asarray(pr["ba"]["cameras"].f)
     return {
         "pano100_s": round(steady_s, 3),
+        "pano100_dev_resident_s": round(dev_s, 3),
         "pano100_compile_s": round(compile_s, 1),
         "pano100_psnr_db": round(psnr, 2),
         "pano100_ferr_pct": round(float(np.abs(f_est - f_true).max() / f_true * 100), 4),

@@ -135,3 +135,29 @@ class TestBatch:
         rgb = jnp.ones((4, 4, 3)) * jnp.array([1.0, 0.0, 0.0])
         g = sift.rgb_to_gray(rgb)
         np.testing.assert_allclose(np.array(g), 0.2989, atol=1e-6)
+
+
+class TestPallasWindowGather:
+    def test_interpret_matches_dynamic_slice(self):
+        import numpy as np
+        from autopanostitch_tpu.ops.pallas import window_gather as wg
+
+        S, H, W, win = 5, 64, 128, 16
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.normal(size=(2, S, H, W)).astype(np.float32))
+        K = 1024
+        lev = jnp.asarray(rng.integers(0, S, K).astype(np.int32))
+        ys = jnp.asarray(rng.integers(0, H - win, K).astype(np.int32))
+        xs = jnp.asarray(rng.integers(0, W - win, K).astype(np.int32))
+        y8, x128, rows, cols = wg.aligned_starts(ys, xs, win, H, W)
+        out = wg.gather_windows(src, lev, y8, x128, rows, cols, interpret=True)
+        y8n, x128n = np.asarray(y8), np.asarray(x128)
+        for k in range(0, K, 173):
+            ref = np.asarray(src)[:, int(lev[k]),
+                                  y8n[k]:y8n[k] + rows, x128n[k]:x128n[k] + cols]
+            np.testing.assert_allclose(np.asarray(out[k]), ref)
+        # aligned windows still cover the requested win x win region
+        assert (y8n <= np.asarray(ys)).all()
+        assert (y8n + rows >= np.asarray(ys) + win).all()
+        assert (x128n <= np.asarray(xs)).all()
+        assert (x128n + cols >= np.asarray(xs) + win).all()
