@@ -107,6 +107,14 @@ class BundleConfig:
     focal_estimate_method: str = "shumSzeliskiOneHPaper"  # inputs.m:82
     residual_one_direction: bool = False  # inputs.m:84
     max_matches: int = 300  # per-edge match cap (inputs.m:85)
+    # over-cap match subsampling (`bundleAdjustmentRKf.m subsampleMatches`
+    # :1047-1352): 'random' (deterministic per-pair stream, default) |
+    # 'grid' (stratified over a rows x cols grid on image i) |
+    # 'polar' (stratified by angle/radius around the principal point) —
+    # stratification keeps subsampled matches covering the whole overlap
+    subsample_mode: str = "random"
+    subsample_grid_bins: Tuple[int, int] = (4, 4)  # [rows, cols]
+    subsample_polar_bins: Tuple[int, int] = (12, 5)  # [nAngles, nRadii]
     incremental_lm_iters: int = 8  # LM iters per incremental step (TPU)
     # priors (bundleAdjustmentRKf.m buildBrownLowePrior :1503-1637)
     theta_prior: float = 3.141592653589793 / 16.0

@@ -285,6 +285,81 @@ def initialize_cameras_summary(pairs, Hs, counts, sizes,
     }
 
 
+def stratified_subsample(
+    pts: np.ndarray,
+    size_i,
+    cap: int,
+    mode: str,
+    rng: np.random.Generator,
+    grid_bins=(4, 4),
+    polar_bins=(12, 5),
+) -> np.ndarray:
+    """Pick `cap` of len(pts) matches, optionally stratified over image i.
+
+    Host-side equivalent of `bundleAdjustmentRKf.m subsampleMatches
+    :1047-1352`: 'random' draws from the caller's deterministic per-pair
+    stream; 'grid' bins points over a rows x cols grid; 'polar' bins by
+    angle/radius around the image center. Stratified modes distribute the
+    cap proportionally to bin occupancy (min 1 per non-empty bin) so the
+    kept matches cover the whole overlap instead of clustering.
+
+    Returns int indices into pts (length <= cap).
+    """
+    Mp = len(pts)
+    if Mp <= cap:
+        return np.arange(Mp)
+    h, w = int(size_i[0]), int(size_i[1])
+    if mode == "grid":
+        rows, cols = grid_bins
+        rb = np.clip(np.ceil((pts[:, 1] + 1.0) * rows / h), 1, rows).astype(int)
+        cb = np.clip(np.ceil((pts[:, 0] + 1.0) * cols / w), 1, cols).astype(int)
+        bin_id = (rb - 1) * cols + (cb - 1)
+        nbins = rows * cols
+    elif mode == "polar":
+        n_ang, n_rad = polar_bins
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        d = pts - np.array([cx, cy])
+        ang = np.mod(np.arctan2(d[:, 1], d[:, 0]), 2 * np.pi)
+        rmax = float(np.hypot(max(cx, w - 1 - cx), max(cy, h - 1 - cy)))
+        rnorm = np.minimum(1.0, np.hypot(d[:, 0], d[:, 1]) / max(rmax, 1e-9))
+        ab = np.minimum((ang / (2 * np.pi) * n_ang).astype(int), n_ang - 1)
+        rb = np.minimum((rnorm * n_rad).astype(int), n_rad - 1)
+        bin_id = ab * n_rad + rb
+        nbins = n_ang * n_rad
+    else:  # 'random'
+        return rng.choice(Mp, cap, replace=False)
+
+    counts = np.bincount(bin_id, minlength=nbins)
+    nonempty = np.nonzero(counts)[0]
+    q = np.zeros(nbins, int)
+    prop = counts[nonempty] / counts[nonempty].sum()
+    q[nonempty] = np.maximum(1, np.round(prop * cap).astype(int))
+    q = np.minimum(q, counts)  # a bin cannot give more than it has
+    # trim overshoot from the largest quotas; fill shortfall from the
+    # fullest bins (reference :1181-1216)
+    while q.sum() > cap:
+        b = nonempty[np.argmax(q[nonempty])]
+        if q[b] <= 1:
+            break
+        q[b] -= 1
+    room = counts - q
+    while q.sum() < cap and room.sum() > 0:
+        b = int(np.argmax(room))
+        q[b] += 1
+        room[b] -= 1
+
+    idx = []
+    for b in nonempty:
+        mem = np.nonzero(bin_id == b)[0]
+        if len(mem) <= q[b]:
+            idx.extend(mem.tolist())
+        else:
+            # deterministic per-bin stream (reference :1229-1239)
+            rb_rng = np.random.default_rng((2654435761 * (int(b) + 1)) & 0x7FFFFFFF)
+            idx.extend(rb_rng.choice(mem, q[b], replace=False).tolist())
+    return np.array(idx[:cap], int)
+
+
 def incremental_order(counts: np.ndarray, members: np.ndarray, seed: int):
     """Best-connected-first camera addition order
     (`bundleAdjustmentRKf.m:146-177`). Returns ordered list starting at seed."""
@@ -862,9 +937,16 @@ def run_bundle_adjustment(
     for k, p in enumerate(sel):
         ok = pair_mask[p] & inliers[p]
         idxs = np.nonzero(ok)[0]
-        if len(idxs) > M:  # deterministic per-pair subsample (:1047-1102)
+        if len(idxs) > M:  # per-pair subsample (`subsampleMatches` :1047-1352)
             rng = np.random.default_rng(1000003 * int(pairs[p, 0]) + int(pairs[p, 1]))
-            idxs = rng.choice(idxs, M, replace=False)
+            gi0 = int(pairs[p, 0])
+            pts_i = xy[gi0, pair_idx[p, idxs, 0]]
+            pick = stratified_subsample(
+                pts_i, sizes[gi0], M, cfg.subsample_mode, rng,
+                grid_bins=cfg.subsample_grid_bins,
+                polar_bins=cfg.subsample_polar_bins,
+            )
+            idxs = idxs[pick]
         c = len(idxs)
         gi, gj = int(pairs[p, 0]), int(pairs[p, 1])
         u_i[k, :c] = xy[gi, pair_idx[p, idxs, 0]]

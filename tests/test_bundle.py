@@ -322,3 +322,40 @@ class TestBundleAdjustment:
         )
         assert res["no_rotation"]
         assert "final_cost" not in res
+
+
+class TestStratifiedSubsample:
+    def _clustered_pts(self):
+        rng = np.random.default_rng(0)
+        # 90% of matches cluster in one corner, 10% spread over the image
+        dense = rng.uniform(0, 80, (900, 2))
+        sparse = rng.uniform(0, 400, (100, 2))
+        return np.concatenate([dense, sparse]).astype(np.float32)
+
+    def test_grid_covers_overlap(self):
+        from autopanostitch_tpu.models.bundle import stratified_subsample
+
+        pts = self._clustered_pts()
+        rng = np.random.default_rng(1)
+        # reference semantics: quota proportional to bin occupancy with a
+        # MINIMUM of one pick per non-empty bin — every occupied grid cell
+        # must appear in the subsample (coverage), which plain uniform
+        # sampling does not guarantee
+        idx = stratified_subsample(pts, (400, 400), 100, "grid", rng)
+        assert len(idx) <= 100 and len(set(idx.tolist())) == len(idx)
+        cell = lambda p: (int(p[1] // 100), int(p[0] // 100))  # noqa: E731
+        occupied = {cell(p) for p in pts}
+        covered = {cell(p) for p in pts[idx]}
+        assert covered == occupied
+        idx_p = stratified_subsample(pts, (400, 400), 100, "polar", rng)
+        assert len(idx_p) <= 100 and len(set(idx_p.tolist())) == len(idx_p)
+        # polar keeps at least one pick at large radius
+        assert (np.hypot(*(pts[idx_p] - 200).T) > 150).any()
+
+    def test_under_cap_identity(self):
+        from autopanostitch_tpu.models.bundle import stratified_subsample
+
+        pts = np.zeros((10, 2), np.float32)
+        idx = stratified_subsample(pts, (100, 100), 50, "grid",
+                                   np.random.default_rng(0))
+        np.testing.assert_array_equal(idx, np.arange(10))
