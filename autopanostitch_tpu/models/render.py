@@ -83,6 +83,20 @@ def _bounds_per_camera(
     return jax.vmap(one)(R, K, sizes)
 
 
+def _memory_fit_pixels(margin_bytes: float = 256e6, frac: float = 0.8):
+    """Canvas pixels that fit the device's free memory (None = unknown).
+
+    The renderer's O(canvas) buffers are the uint8 panorama + bool coverage
+    (4 B/px) plus transient tile stacks; `frac` of the free HBM after
+    `margin_bytes` slack is the budget (`renderPanorama.m:236-266`)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        free = stats["bytes_limit"] - stats["bytes_in_use"]
+    except Exception:
+        return None  # backend without memory stats (CPU): no constraint
+    return max(1e6, (free - margin_bytes) * frac / 4.0)
+
+
 def compute_canvas(
     R: np.ndarray,
     K: np.ndarray,
@@ -156,6 +170,19 @@ def compute_canvas(
     Wc = max(1, int(np.ceil(f_pan * (u1 - u0))))
     Hc = max(1, int(np.ceil(f_pan * (v1 - v0))))
     cap = cfg.max_megapixel * 1e6
+    # device-memory preflight (`renderPanorama.m:236-266` canFit): shrink
+    # the canvas like the MP cap instead of the reference's skip-and-warn —
+    # on TPU the canvas is uint8+bool so the budget is the HBM headroom
+    mem_px = _memory_fit_pixels()
+    if mem_px is not None and mem_px < cap:
+        import warnings
+
+        warnings.warn(
+            f"render: HBM headroom limits the canvas to ~{mem_px / 1e6:.0f} "
+            f"MPix (configured cap {cfg.max_megapixel} MPix); downscaling",
+            RuntimeWarning,
+        )
+        cap = mem_px
     if Hc * Wc > cap:
         scale = float(np.sqrt(cap / (Hc * Wc)))
         Wc = max(1, int(np.ceil(Wc * scale)))
