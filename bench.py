@@ -15,9 +15,12 @@ compare against a conservative ESTIMATE of 0.1 Mpix/s for the reference's
 per-dataset wall time at its default operating point (800x800 inputs,
 minutes-scale end-to-end runs per its own README performance remarks).
 
-The JAX persistent compilation cache is enabled, so `compile_s` collapses
-to near-steady on any rerun with the same shapes (round-1 cold compile was
-101 s per process).
+`compile_s` note: the JAX persistent compilation cache is enabled and
+populated, but this harness reaches the TPU through the axon relay whose
+server-side AOT compiler bypasses it — a trivial one-op jit costs ~17 s in
+ANY fresh process (session setup + compile round trip), so the ~2 min
+first-stitch number is relay round-trips per executable, not XLA work.
+On a directly-attached TPU host the cache works as designed.
 """
 
 import json
