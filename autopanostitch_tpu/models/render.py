@@ -454,11 +454,17 @@ def render_rotational(
     Returns (panorama (Hc, Wc, 3) uint8, coverage (Hc, Wc) bool).
     """
     Hc, Wc = canvas["Hc"], canvas["Wc"]
-    # shrink tiles to the canvas so padding never dominates (a 279-row
-    # canvas under 512-row tiles would compute 45% dead rows); multiples of
-    # 64 keep a few distinct executable shapes across datasets
-    th = min(tile[0], ((Hc + 63) // 64) * 64)
-    tw = min(tile[1], ((Wc + 63) // 64) * 64)
+
+    # fit tiles to the canvas so padding never dominates: split each dim
+    # into the fewest tiles of size <= the configured max, each rounded up
+    # to 32 (a 626-row canvas under fixed 512-row tiles computed 2x512 rows
+    # — 63% dead; fitted 2x320 wastes 2%)
+    def fit_tile(size, tmax):
+        n = max(1, (size + tmax - 1) // tmax)
+        return ((-(-size // n) + 31) // 32) * 32
+
+    th = fit_tile(Hc, tile[0])
+    tw = fit_tile(Wc, tile[1])
     n = images.shape[0]
     if gains is None:
         gains = np.ones((n, 3), np.float32)
