@@ -17,6 +17,47 @@ from autopanostitch_tpu.ops import sift
 from autopanostitch_tpu.ops.sift import SiftFeatures
 
 
+def extract_features_streamed(
+    images_np: np.ndarray,
+    sizes: np.ndarray,
+    cfg: DetectorConfig = DetectorConfig(),
+    group: int = 16,
+):
+    """Upload-overlapped extraction from a HOST image stack.
+
+    Queues one async `device_put` per `group` images, then dispatches the
+    per-group extraction — later uploads overlap earlier groups' compute
+    (0.4 s of the ~1.1 s relay upload hides under extraction at 100
+    images). Returns (features, images (N, H, W, 3) float32 on device) so
+    the caller reuses the uploaded stack for gain/render.
+    """
+    N = images_np.shape[0]
+    if N <= group:
+        dev = _to_float_any(jax.device_put(images_np))
+        return extract_features(dev, sizes, cfg), dev
+    handles = [
+        jax.device_put(images_np[g0 : g0 + group]) for g0 in range(0, N, group)
+    ]
+    floats = [_to_float_any(h) for h in handles]
+    outs = []
+    for k, imgs in enumerate(floats):
+        sz = np.asarray(sizes)[k * group : (k + 1) * group]
+        if imgs.shape[0] < group:
+            pad = group - imgs.shape[0]
+            imgs = jnp.pad(imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            sz = np.pad(sz, ((0, pad), (0, 0)))
+        outs.append(extract_features(imgs, sz, cfg))
+    feats = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs)[:N], *outs)
+    images = jnp.concatenate(floats)[:N]
+    return feats, images
+
+
+def _to_float_any(raw: jax.Array) -> jax.Array:
+    if raw.dtype == jnp.uint8:
+        return raw.astype(jnp.float32) / 255.0
+    return raw
+
+
 def extract_features(
     images: jax.Array,
     sizes: np.ndarray,

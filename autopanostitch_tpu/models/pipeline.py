@@ -56,6 +56,20 @@ def _to_float(raw):
     return raw.astype(jnp.float32) / 255.0
 
 
+def _extract(image_set: ImageSet, cfg: StitchConfig):
+    """(features, float image stack on device). Host numpy stacks go
+    through the upload-overlapped streamed path (async per-group
+    device_put hides part of the host->device transfer under extraction);
+    already-device-resident stacks extract directly."""
+    imgs_in = image_set.images
+    if isinstance(imgs_in, np.ndarray):
+        return features_stage.extract_features_streamed(
+            imgs_in, image_set.sizes, cfg.detector
+        )
+    dev = _to_float(imgs_in) if imgs_in.dtype == jnp.uint8 else imgs_in
+    return features_stage.extract_features(dev, image_set.sizes, cfg.detector), dev
+
+
 def _matcher_semantics(cfg: StitchConfig):
     """(threshold, binary) for the descriptor type of cfg.detector.
 
@@ -245,14 +259,11 @@ def stitch(
     and border / inscribed-rectangle cropping.
     """
     key = jax.random.PRNGKey(seed)
-    raw = jnp.asarray(image_set.images)  # single upload; stages reuse it
-    if raw.dtype == jnp.uint8:  # 4x cheaper upload, converted on device
-        images = _to_float(raw)
-    else:
-        images = raw
-    feathers = samp_ops.feather_stack(
-        jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
-    )
+    images = None  # set by the streamed path or the plain upload below
+
+    def _upload():
+        raw = jnp.asarray(image_set.images)  # uint8 = 4x cheaper upload
+        return _to_float(raw) if raw.dtype == jnp.uint8 else raw
     cache = None
     key_feat = key_graph = key_ba = None
     if cache_dir:
@@ -275,12 +286,16 @@ def stitch(
             from autopanostitch_tpu.ops.sift import SiftFeatures
 
             feats = SiftFeatures(**{k: jnp.asarray(v) for k, v in cached.items()})
+            images = _upload()
         else:
-            feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
+            feats, images = _extract(image_set, cfg)
             cache.save(key_feat, "features",
                        **{f: np.asarray(getattr(feats, f)) for f in feats._fields})
     else:
-        feats = features_stage.extract_features(images, image_set.sizes, cfg.detector)
+        feats, images = _extract(image_set, cfg)
+    feathers = samp_ops.feather_stack(
+        jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
+    )
 
     graph = None
     if cache is not None:
