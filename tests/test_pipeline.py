@@ -219,3 +219,57 @@ class TestRotationalStitch:
         mse = np.mean(err**2)
         p = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert p > 25.0, f"rotational stitch PSNR {p:.1f} dB"
+
+
+class TestHighFidelityRotational:
+    def test_smooth_env_psnr_40db(self):
+        """North-star quality gate in miniature (BASELINE north star:
+        >= 40 dB): band-limited environment, bicubic view synthesis,
+        bicubic render, multiband blend. The round-1 bilinear path measured
+        ~22 dB on this config; the bicubic path must clear 40."""
+        env = synthdata.smooth_texture(5, 512, 1536)
+        f_true = 300.0
+        n = 12  # closed ring: loop closure distributes the chain drift
+        # that bows an open chain's ends (~0.3 deg = 1.5 px of ghosting)
+        views, Rs = [], []
+        for i in range(n):
+            R = synthdata.rot_y(i * 2 * np.pi / n).T
+            views.append(synthdata.render_pinhole_from_equirect(
+                env, R, f_true, 320, 256, "bicubic"))
+            Rs.append(R)
+        iset = make_set([v.astype(np.float32) for v in views])
+        cfg = small_cfg(planar=False).replace(
+            render=RenderConfig(projections=("spherical",),
+                                interpolation="bicubic"),
+            blend=BlendConfig(mode="multiband"),
+            straighten=StraightenConfig(enabled=False),
+        )
+        res = pipeline.stitch(iset, cfg)
+        assert len(res.panoramas) == 1
+        pr = res.panoramas[0]
+        f_est = np.asarray(pr["ba"]["cameras"].f)
+        assert np.all(np.abs(f_est - f_true) / f_true < 0.02), f_est
+
+        pano = pr["projections"]["spherical"]
+        cover = pr["coverage_by_mode"]["spherical"]
+        canvas = pr["canvas"]["spherical"]
+        R_est = pr["R_render"]
+        # gauge: orthogonal Procrustes over all cameras
+        M = sum(R_est[i].T @ np.asarray(Rs[i]) for i in range(n))
+        U, _, Vt = np.linalg.svd(M)
+        G = U @ Vt
+        if np.linalg.det(G) < 0:
+            U[:, -1] *= -1
+            G = U @ Vt
+        ys, xs = np.nonzero(cover)
+        sub = np.random.default_rng(0).choice(len(ys), min(60000, len(ys)),
+                                              replace=False)
+        ys, xs = ys[sub], xs[sub]
+        u = canvas["x0"] + xs / canvas["f_pan"]
+        v = canvas["y0"] + ys / canvas["f_pan"]
+        d = np.stack([np.cos(v) * np.sin(u), np.sin(v),
+                      np.cos(v) * np.cos(u)], -1)
+        gt = synthdata.env_lookup(env, d @ G, interp="bicubic")
+        err = pano[ys, xs].astype(np.float64) / 255.0 - gt
+        p = 10 * np.log10(1.0 / max(np.mean(err**2), 1e-12))
+        assert p > 40.0, f"smooth-env rotational PSNR {p:.1f} dB"
