@@ -61,6 +61,8 @@ def build_config(args):
             image_save_folder=args.out,
             image_write=not args.no_write,
             show_crop_bounding_box=args.show_crop_bbox,
+            show_keypoints_plot=args.show_keypoints,
+            show_adjacency_graph=args.show_adjacency,
         ),
     )
 
@@ -94,6 +96,30 @@ def stitch_dataset(name: str, paths, cfg, out_dir: str):
                 fname = f"{mode}_{name}_{pano_i}_cropbbox.png"
                 save_image(os.path.join(out_dir, fname), img)
                 print(f"  wrote {fname}")
+        if cfg.post.image_write and (cfg.post.show_keypoints_plot
+                                     or cfg.post.show_adjacency_graph):
+            from autopanostitch_tpu.models import annotate
+            import numpy as _np
+
+            if cfg.post.show_adjacency_graph:
+                g = result.graph
+                adj = annotate.draw_adjacency_graph(
+                    g.pairs, g.accepted, g.num_inliers, iset.n, result.components
+                )
+                save_image(os.path.join(out_dir, f"adjacency_{name}.png"), adj)
+                print(f"  wrote adjacency_{name}.png")
+            if cfg.post.show_keypoints_plot:
+                feats = result.features
+                for k in range(iset.n):
+                    kp = annotate.draw_keypoints(
+                        iset.images[k], _np.asarray(feats.xy[k]),
+                        _np.asarray(feats.mask[k]), _np.asarray(feats.scale[k]),
+                    )
+                    save_image(
+                        os.path.join(out_dir, f"keypoints_{name}_{iset.names[k]}.png"),
+                        kp,
+                    )
+                print(f"  wrote {iset.n} keypoint overlays")
     timer.report()
     print(
         f"panoramas: {len(result.panoramas)}; components: "
@@ -118,6 +144,10 @@ def main(argv=None):
                     help="skip writing panoramas (inputs.m imageWrite=false)")
     ap.add_argument("--show-crop-bbox", action="store_true",
                     help="save the inscribed-crop bounding box overlay")
+    ap.add_argument("--show-keypoints", action="store_true",
+                    help="save per-image keypoint overlays (inputs.m showKeypointsPlot)")
+    ap.add_argument("--show-adjacency", action="store_true",
+                    help="save the image-match adjacency graph plot (inputs.m showAdjacencyGraph)")
     ap.add_argument("--log", default=None)
     ap.add_argument("--cache", default=None, help="per-stage artifact cache dir (resume)")
     ap.add_argument("--profile", default=None, metavar="DIR",

@@ -214,6 +214,8 @@ class PostConfig:
     crop_panorama: bool = False
     image_write: bool = False
     image_save_folder: str = "./results"
+    show_keypoints_plot: bool = False  # inputs.m:119 (keypoint overlays)
+    show_adjacency_graph: bool = False  # inputs.m:74 (match-graph plot)
     show_panorama_imgs_nums: bool = False  # inputs.m:121
     show_crop_bounding_box: bool = False  # inputs.m:122
 

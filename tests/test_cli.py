@@ -76,3 +76,24 @@ def test_resize_modes(tmp_path):
     fc = image_io.resize_fillcrop(img, 200, 200)
     assert fc.shape == (200, 200, 3)
     assert fc.min() >= 0 and fc[-1, -1].sum() > 0  # fully covered
+
+
+def test_cli_diagnostic_plots(tmp_path):
+    import synthdata
+    from PIL import Image
+    from autopanostitch_tpu import cli
+
+    env = synthdata.texture(9, 300, 600)
+    d = tmp_path / "set"
+    d.mkdir()
+    for k, (x0, y0, w, h) in enumerate([(0, 0, 360, 280), (200, 10, 360, 280)]):
+        Image.fromarray(
+            (env[y0 : y0 + h, x0 : x0 + w] * 255).astype(np.uint8)
+        ).save(d / f"im{k}.png")
+    out = tmp_path / "out"
+    rc = cli.main([str(d), "--out", str(out), "--force-planar",
+                   "--size-limit", "400", "--show-keypoints",
+                   "--show-adjacency"])
+    assert rc == 0
+    assert (out / "adjacency_set.png").exists()
+    assert len(list(out.glob("keypoints_set_*.png"))) == 2
