@@ -678,7 +678,19 @@ def _apply_crop(result: Dict, cfg: StitchConfig) -> None:
     `cropNonzeroBbox` + `panoramaCropper`)."""
     by_mode = result.get("coverage_by_mode")
     if not by_mode:
-        return
+        # no renderer coverage (externally produced panoramas fed through
+        # the crop stage): threshold against the canvas color like the
+        # reference (`panoramaCropper.m:73-88`, `inputs.m:116-118`)
+        by_mode = {
+            m: crop_stage.mask_from_color(
+                p, cfg.render.canvas_color,
+                cfg.post.black_range, cfg.post.white_range,
+            )
+            for m, p in result.get("projections", {}).items()
+        }
+        if not by_mode:
+            return
+        result["coverage_by_mode"] = by_mode
     cropped = {}
     bbox_vis = {}
     for mode, pano in result["projections"].items():

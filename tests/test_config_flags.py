@@ -204,3 +204,23 @@ class TestPostFlags:
         assert rc == 0
         pngs = list(out.glob("*.png")) if out.exists() else []
         assert pngs == []  # imageWrite=false wrote nothing
+
+
+class TestCropFallback:
+    def test_color_threshold_coverage_fallback(self):
+        """External panoramas (no renderer coverage) crop via the
+        black/white-range color threshold (inputs.m:116-118)."""
+        pano = np.zeros((20, 30, 3), np.uint8)
+        pano[5:15, 8:25] = 120
+        result = {"projections": {"planar": pano}}
+        cfg = StitchConfig(
+            post=StitchConfig().post.__class__(black_range=10),
+        )
+        pipeline._apply_crop(result, cfg)
+        out = result["projections_cropped"]["planar"]
+        assert out.shape == (10, 17, 3)
+        # raising black_range above the content kills the mask -> no crop
+        result2 = {"projections": {"planar": pano.copy()}}
+        cfg2 = StitchConfig(post=StitchConfig().post.__class__(black_range=200))
+        pipeline._apply_crop(result2, cfg2)
+        assert result2["projections_cropped"]["planar"].shape == pano.shape
