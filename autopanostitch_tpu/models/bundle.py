@@ -332,9 +332,16 @@ def stratified_subsample(
     counts = np.bincount(bin_id, minlength=nbins)
     nonempty = np.nonzero(counts)[0]
     q = np.zeros(nbins, int)
-    prop = counts[nonempty] / counts[nonempty].sum()
-    q[nonempty] = np.maximum(1, np.round(prop * cap).astype(int))
-    q = np.minimum(q, counts)  # a bin cannot give more than it has
+    if len(nonempty) > cap:
+        # more occupied bins than the cap: the min-1-per-bin rule cannot
+        # hold — take one point from `cap` evenly spaced bins instead of
+        # letting the quota overshoot and truncating the high-index bins
+        pick_bins = nonempty[np.linspace(0, len(nonempty) - 1, cap).astype(int)]
+        q[pick_bins] = 1
+    else:
+        prop = counts[nonempty] / counts[nonempty].sum()
+        q[nonempty] = np.maximum(1, np.round(prop * cap).astype(int))
+        q = np.minimum(q, counts)  # a bin cannot give more than it has
     # trim overshoot from the largest quotas; fill shortfall from the
     # fullest bins (reference :1181-1216)
     while q.sum() > cap:
@@ -645,7 +652,6 @@ def _lm_phase_body(
         # NaN guard: an indefinite system yields a non-finite step -> zero
         # step -> reject -> lambda x4 (the solver-robustness fallback)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
-        d_flat = delta
         delta = delta.reshape(nb, 4)
         # per-camera caps (capPerCameraStep, :984-1045)
         rot_norm = jnp.linalg.norm(delta[:, :3], axis=-1)
@@ -654,6 +660,11 @@ def _lm_phase_body(
         f_scale = jnp.minimum(1.0, f_cap / jnp.maximum(jnp.abs(delta[:, 3]), 1e-12))
         dtheta = delta[:, :3] * rot_scale[:, None]
         df = delta[:, 3] * f_scale
+        # the gain ratio must be computed for the step actually TAKEN —
+        # the capped one (the uncapped solver step would overestimate pred
+        # whenever a rotation/focal cap binds, corrupting the lambda
+        # schedule in exactly the hard early phases where caps engage)
+        d_flat = jnp.concatenate([dtheta, df[:, None]], axis=1).reshape(-1)
 
         # candidate update: left-multiplicative SO(3) on the base rotation
         # (theta stays at 0 — the log map never runs), clamp f

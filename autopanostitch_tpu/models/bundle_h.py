@@ -187,7 +187,11 @@ def bundle_adjust_h(
         cand = params + delta.reshape(N, 8)
         _, _, cost_new = build(cand)
         d = delta
-        pred = 0.5 * (lam * jnp.sum(d * d) - jnp.sum(d * g))
+        # predicted reduction must use the SAME damping as the solved
+        # system (lam * (diag(H)+1e-6), not identity — the 8-DOF params
+        # mix pixel-scale translations with ~1e-4 projective terms, so
+        # diag(H) spans many orders of magnitude)
+        pred = 0.5 * (lam * jnp.sum(d * (jnp.diag(H) + 1e-6) * d) - jnp.sum(d * g))
         rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
         params = jnp.where(accept, cand, params)

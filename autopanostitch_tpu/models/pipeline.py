@@ -380,11 +380,17 @@ def second_pass_component(
     orig = [image_set.original(int(k)) for k in members]
     if any(o is None for o in orig):
         return None
-    imgs = [
-        image_io.resize_fit(o, cfg.render.height_limit, cfg.render.width_limit)
-        for o in orig
-    ]
+    if cfg.render.resize_image:
+        limits = (cfg.render.height_limit, cfg.render.width_limit)
+    else:  # native-resolution runs must stay native (inputs.m resizeImage)
+        limits = (1 << 30, 1 << 30)
+    imgs = [image_io.resize_fit(o, *limits) for o in orig]
     sizes = np.array([im.shape[:2] for im in imgs], np.int32)
+    if np.array_equal(sizes, image_set.sizes[members]):
+        # the re-resize reproduces the first-pass images exactly — the
+        # expensive re-extract/re-verify can only rediscover the same
+        # graph; fall back to the cheap pairwise re-match
+        return None
     H = int(np.ceil(sizes[:, 0].max() / 32) * 32)
     W = int(np.ceil(sizes[:, 1].max() / 32) * 32)
     stack = np.stack([image_io._pad_to(im, H, W) for im in imgs])

@@ -60,9 +60,10 @@ def model_min_pts(model: str) -> int:
 def num_trials(confidence: float, model: str, max_iter: int) -> int:
     """Hypothesis budget from the reference's two knobs (`inputs.m:68,72`).
 
-    `ceil(log(1-p) / log(1-w^s))` at the design inlier ratio, capped at
-    max_iter (`estimateTransformationRANSAC.m:124-131`), rounded up to a
-    multiple of 64 so the hypothesis axis tiles the VPU lanes.
+    `ceil(log(1-p) / log(1-w^s))` at the design inlier ratio, HARD-capped
+    at max_iter (`estimateTransformationRANSAC.m:124-131`); rounded up to
+    a multiple of 64 for tiling only when that stays within the cap —
+    max_iter is advertised as a cost bound and must never be exceeded.
     """
     s = model_min_pts(model)
     if confidence >= 100.0:
@@ -75,7 +76,8 @@ def num_trials(confidence: float, model: str, max_iter: int) -> int:
             / math.log(1.0 - _DESIGN_INLIER_RATIO**s)
         )
     total = max(1, min(int(max_iter), int(n_conf)))
-    return ((total + 63) // 64) * 64
+    rounded = ((total + 63) // 64) * 64
+    return rounded if rounded <= max_iter else total
 
 
 class RansacResult(NamedTuple):

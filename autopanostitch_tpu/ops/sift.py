@@ -560,15 +560,17 @@ def _extract_group(imgs: Array, cfg: DetectorConfig) -> SiftFeatures:
         level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[1] - 1)
 
         Ho, Wo = gauss.shape[2:]
-        # windows sized to the exact radii at this octave's max sigma
-        # (sigma_rel <= 2*cfg.sigma): descriptor needs
-        # 3*sigma*sqrt(2)*(d+1)/2 (~34 px -> 72 window at the defaults,
-        # measured 6% faster than a blanket 80); the orientation histogram
-        # gaussian is zero beyond 3*1.5*sigma (~15 px -> 32 window)
-        r_desc = (_DESC_SCALE_FACTOR * 2.0 * cfg.sigma * math.sqrt(2.0)
+        # windows sized to the exact radii at this octave's MAX sigma:
+        # subpixel refinement can push layer to s+0.5, so
+        # sigma_rel <= sigma * 2^((s+0.5)/s) (~3.49 at the defaults, NOT
+        # the naive 2*sigma=3.2). Descriptor radius 3*sigma*sqrt(2)*(d+1)/2
+        # (~37 px -> 80 window); the orientation histogram gaussian is zero
+        # beyond 3*1.5*sigma (~16 px -> 40 window).
+        srel_max = cfg.sigma * 2.0 ** ((s + 0.5) / s)
+        r_desc = (_DESC_SCALE_FACTOR * srel_max * math.sqrt(2.0)
                   * (cfg.descriptor_width + 1) / 2.0)
         Wwin = min(_ceil_to(int(2 * r_desc + 2), 8), (min(Ho, Wo) // 8) * 8)
-        r_ori = _ORI_RADIUS_FACTOR * _ORI_SIGMA_FACTOR * 2.0 * cfg.sigma
+        r_ori = _ORI_RADIUS_FACTOR * _ORI_SIGMA_FACTOR * srel_max
         Wori = min(Wwin, _ceil_to(int(2 * r_ori + 2), 8))
 
         if use_pallas:

@@ -359,3 +359,18 @@ class TestStratifiedSubsample:
         idx = stratified_subsample(pts, (100, 100), 50, "grid",
                                    np.random.default_rng(0))
         np.testing.assert_array_equal(idx, np.arange(10))
+
+    def test_more_bins_than_cap(self):
+        from autopanostitch_tpu.models.bundle import stratified_subsample
+
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 400, (400, 2)).astype(np.float32)
+        # polar 12x5 = 60 bins, cap 30 < occupied bins
+        idx = stratified_subsample(pts, (400, 400), 30, "polar",
+                                   np.random.default_rng(0))
+        assert len(idx) == 30
+        assert len(set(idx.tolist())) == 30
+        # picks span the angular range, not just the first sectors
+        d = pts[idx] - 200
+        ang = np.mod(np.arctan2(d[:, 1], d[:, 0]), 2 * np.pi)
+        assert ang.min() < np.pi / 3 and ang.max() > 5 * np.pi / 3
