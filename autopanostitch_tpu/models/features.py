@@ -96,6 +96,17 @@ def extract_features(
         feats = doh.extract_doh_batch(gray, cfg)
     else:  # SIFT / vl_SIFT
         feats = sift.extract_batch(gray, cfg)
+    feats = mask_borders(feats, sizes, border)
+    if scale_back != 1.0:
+        feats = feats._replace(
+            xy=feats.xy * scale_back, scale=feats.scale * scale_back
+        )
+    return feats
+
+
+def mask_borders(feats: SiftFeatures, sizes, border: int = 6) -> SiftFeatures:
+    """Mask keypoints in the zero-padding or hugging the valid border
+    (where the pad edge creates false gradients)."""
     sizes = jnp.asarray(sizes)
     h_valid = sizes[:, 0][:, None].astype(jnp.float32)
     w_valid = sizes[:, 1][:, None].astype(jnp.float32)
@@ -107,9 +118,4 @@ def extract_features(
         & (y >= border)
         & (y <= h_valid - 1 - border)
     )
-    feats = feats._replace(mask=feats.mask & in_valid)
-    if scale_back != 1.0:
-        feats = feats._replace(
-            xy=feats.xy * scale_back, scale=feats.scale * scale_back
-        )
-    return feats
+    return feats._replace(mask=feats.mask & in_valid)

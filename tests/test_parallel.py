@@ -108,3 +108,53 @@ def test_sharded_render_bands_matches_single_device():
     np.testing.assert_array_equal(cov_sh, cov_ref)
     diff = np.abs(pano_sh.astype(int) - pano_ref.astype(int))
     assert diff.max() <= 1  # uint8 rounding only
+
+
+def test_stitch_multichip_matches_single_chip():
+    """Full end-to-end mesh-sharded stitch == single-chip stitch (same
+    graph, cameras and rendered panorama) on the virtual 8-device mesh."""
+    import dataclasses
+
+    import synthdata
+    from autopanostitch_tpu.config import (
+        BlendConfig, BundleConfig, DetectorConfig, ImageMatchConfig,
+        MatchingConfig, RenderConfig, StitchConfig, StraightenConfig,
+    )
+    from autopanostitch_tpu.models import pipeline as sp
+    from autopanostitch_tpu.parallel import mesh as pmesh
+    from autopanostitch_tpu.parallel import pipeline as mp
+    from autopanostitch_tpu.utils.image_io import ImageSet
+
+    env, views, Rs, f = synthdata.rotational_views(
+        17, n_views=4, f=320.0, size=(320, 256), yaw_step=0.5
+    )
+    sizes = np.array([v.shape[:2] for v in views], np.int32)
+    stack = (np.stack(views) * 255).astype(np.uint8)
+    iset = ImageSet(images=stack, sizes=sizes,
+                    names=[f"v{k}" for k in range(len(views))])
+    cfg = StitchConfig(
+        detector=DetectorConfig(max_keypoints=384, num_octaves=3),
+        matching=MatchingConfig(max_matches_per_pair=256, second_pass=False),
+        image_match=ImageMatchConfig(ransac_batch=256),
+        bundle=BundleConfig(incremental_lm_iters=6, max_iter_lm=18),
+        straighten=StraightenConfig(enabled=False),
+        render=RenderConfig(projections=("spherical",)),
+        blend=BlendConfig(mode="linear"),
+    )
+    mesh = pmesh.make_mesh(8)
+    res_m = mp.stitch_multichip(iset, cfg, mesh=mesh, seed=0)
+    res_s = sp.stitch(iset, cfg, seed=0)
+
+    np.testing.assert_array_equal(res_m.graph.pairs, res_s.graph.pairs)
+    np.testing.assert_array_equal(res_m.graph.accepted, res_s.graph.accepted)
+    np.testing.assert_allclose(res_m.graph.H, res_s.graph.H, rtol=1e-4, atol=1e-4)
+    assert len(res_m.panoramas) == len(res_s.panoramas) == 1
+    pm, ps = res_m.panoramas[0], res_s.panoramas[0]
+    np.testing.assert_allclose(
+        np.asarray(pm["ba"]["cameras"].f), np.asarray(ps["ba"]["cameras"].f),
+        rtol=1e-4,
+    )
+    a = pm["projections"]["spherical"].astype(np.int16)
+    b = ps["projections"]["spherical"].astype(np.int16)
+    assert a.shape == b.shape
+    assert np.mean(np.abs(a - b)) < 1.0  # same panorama up to fp noise
