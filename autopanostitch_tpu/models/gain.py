@@ -28,6 +28,98 @@ from autopanostitch_tpu.ops import sampling as samp
 Array = jax.Array
 
 
+@partial(jax.jit, static_argnames=("stride", "chunk"))
+def overlap_statistics_imagespace(
+    images: Array,  # (N, H, W, 3)
+    feathers: Array,  # (N, H, W)
+    sizes: Array,  # (N, 2) valid (h, w)
+    R: Array,  # (N, 3, 3) world -> cam
+    K: Array,  # (N, 3, 3)
+    stride: int,
+    chunk: int = 512,
+    margin: float = 1.0,
+):
+    """Overlap statistics sampled on each image's OWN strided pixel grid.
+
+    Gather-free formulation (the TPU has no gather hardware; point
+    gathers measured ~65 M taps/s and dominated the canvas-grid variant):
+    colors come from a static strided slice of each image, and only the
+    GEOMETRY of visibility in every other camera is evaluated — ray
+    per grid point, project into all N cameras (one MXU einsum), bounds
+    test. This is also the reference's own measure: `Ibar_ij` is the mean
+    of image i's pixels over overlap(i, j)
+    (`gainCompensationRKf.m:126-159`).
+
+    The j-side feather test is approximated by a `margin`-pixel inset of
+    j's valid rectangle (the feather ramp is nonzero strictly inside it).
+
+    Returns (Nij (N, N), sumC (N, N, 3)); Nij is ASYMMETRIC (counts on
+    image i's grid) — `solve_gains` consumes both directions.
+    """
+    from autopanostitch_tpu.ops import geometry as geo
+
+    N, H, W, _ = images.shape
+    col_all = images[:, ::stride, ::stride].reshape(N, -1, 3) * 255.0
+    wf_own = feathers[:, ::stride, ::stride].reshape(N, -1)
+    ys, xs = jnp.mgrid[0:H:stride, 0:W:stride]
+    xs = xs.astype(jnp.float32).reshape(-1)
+    ys = ys.astype(jnp.float32).reshape(-1)
+    P = xs.shape[0]
+    h_v = sizes[:, 0].astype(jnp.float32)[:, None]  # (N, 1)
+    w_v = sizes[:, 1].astype(jnp.float32)[:, None]
+    own = (
+        (xs[None, :] >= margin) & (xs[None, :] <= w_v - 1 - margin)
+        & (ys[None, :] >= margin) & (ys[None, :] <= h_v - 1 - margin)
+        & (wf_own > 1e-4)
+    )  # (N, P)
+
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (P, 3)
+    Rt_Kinv = jnp.matmul(
+        jnp.swapaxes(R, 1, 2), geo.invert_K(K),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rays = jnp.einsum(
+        "iab,pb->ipa", Rt_Kinv, pix, precision=jax.lax.Precision.HIGHEST
+    )  # (N, P, 3) world rays per image grid point
+    KR = jnp.matmul(K, R, precision=jax.lax.Precision.HIGHEST)  # (N, 3, 3)
+
+    nchunks = (P + chunk - 1) // chunk
+    Ppad = nchunks * chunk
+
+    def padP(x, axis=1):
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, Ppad - P)
+        return jnp.pad(x, pads)
+
+    rays_p = padP(rays).reshape(N, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+    col_p = padP(col_all).reshape(N, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+    own_p = padP(own).reshape(N, nchunks, chunk).transpose(1, 0, 2)
+
+    def step(carry, inp):
+        Nij, sumC = carry
+        r_c, col_c, own_c = inp  # (N, C, 3), (N, C, 3), (N, C)
+        prj = jnp.einsum("jab,icb->ijca", KR, r_c)  # (i, j, C, 3)
+        z = prj[..., 2]
+        zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        u = prj[..., 0] / zi
+        v = prj[..., 1] / zi
+        vis = (
+            (z > 1e-6)
+            & (u >= margin) & (u <= w_v[None, :] - 1 - margin)
+            & (v >= margin) & (v <= h_v[None, :] - 1 - margin)
+        )  # (i, j, C) with j's bounds broadcast
+        V = (own_c[:, None, :] & vis).astype(jnp.float32)
+        Nij = Nij + jnp.sum(V, axis=-1)
+        sumC = sumC + jnp.einsum(
+            "ijp,ipc->ijc", V, col_c, precision=jax.lax.Precision.HIGHEST
+        )
+        return (Nij, sumC), None
+
+    init = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
+    (Nij, sumC), _ = jax.lax.scan(step, init, (rays_p, col_p, own_p))
+    return Nij, sumC
+
+
 @partial(jax.jit, static_argnames=("mode", "grid_h", "grid_w", "chunk"))
 def overlap_statistics(
     images: Array,  # (N, H, W, 3)
@@ -61,22 +153,23 @@ def overlap_statistics(
     d = jnp.pad(d, ((0, Gpad - G), (0, 0)))
     pad_valid = jnp.pad(jnp.ones((G,), bool), (0, Gpad - G))
 
-    def per_image(img, feather, R_k, K_k, dd):
-        u, v, front, _ = proj.project_ray_to_camera(dd, R_k, K_k)
-        col, ok = samp.sample_bilinear(img, u, v)
-        wf, _ = samp.sample_bilinear(feather[..., None], u, v)
+    def step(carry, inputs):
+        Nij, sumC = carry
+        dd, pv = inputs
+        # project the chunk's rays into EVERY camera (small math, vmapped),
+        # then one fused flat-batch gather over the image stack (a vmapped
+        # per-image sample_bilinear lowered to a ~20 M samples/s gather;
+        # the flat batch runs at full gather throughput)
+        u, v, front, _ = jax.vmap(
+            lambda Rk, Kk: proj.project_ray_to_camera(dd, Rk, Kk)
+        )(R, K)  # (N, chunk) each
+        col, ok = samp.sample_bilinear_batch(images, u, v)
+        wf, _ = samp.sample_bilinear_batch(feathers[..., None], u, v)
         valid = ok & front & (wf[..., 0] > 1e-4)
         # Brown-Lowe Eq.29 sigmas (sigmaN=10, sigmag=0.1, inputs.m:95-96)
         # are calibrated for 0-255 intensities (the reference samples
         # single(uint8) without dividing); our images are [0,1]
-        return col * 255.0, valid
-
-    def step(carry, inputs):
-        Nij, sumC = carry
-        dd, pv = inputs
-        col, valid = jax.vmap(lambda im, fe, Rk, Kk: per_image(im, fe, Rk, Kk, dd))(
-            images, feathers, R, K
-        )  # (N, chunk, 3), (N, chunk)
+        col = col * 255.0  # (N, chunk, 3)
         V = (valid & pv[None, :]).astype(jnp.float32)
         Nij = Nij + jax.lax.dot_general(
             V, V, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -199,21 +292,25 @@ def solve_gains(
 
     Data term: Nij * (g_i Ibar_ij - g_j Ibar_ji)^2 / sigmaN^2;
     prior:     Nij * (g_i - 1)^2 / sigmag^2. Clamped to cfg.clamp.
+
+    Accepts asymmetric counts (image-space statistics count on image i's
+    own grid): means use each direction's own count, the pair weight uses
+    their mean; symmetric canvas-grid inputs reduce to the original form.
     """
     N = Nij.shape[0]
     gains = np.ones((N, 3), np.float32)
     sN2 = cfg.sigma_n**2
     sg2 = cfg.sigma_g**2
     iu, ju = np.triu_indices(N, 1)
-    ok = Nij[iu, ju] >= min_overlap
+    ok = np.minimum(Nij[iu, ju], Nij[ju, iu]) >= min_overlap
     if not ok.any():
         return gains
     A = np.zeros((N, N, 3))
     b = np.zeros((N,))
     for i, j in zip(iu[ok], ju[ok]):
-        Kij = Nij[i, j]
-        Ibar_ij = sumC[i, j] / Kij  # mean of image i's colors over overlap
-        Ibar_ji = sumC[j, i] / Kij
+        Kij = 0.5 * (Nij[i, j] + Nij[j, i])
+        Ibar_ij = sumC[i, j] / Nij[i, j]  # mean of image i over overlap(i,j)
+        Ibar_ji = sumC[j, i] / Nij[j, i]
         wN = Kij / sN2
         wG = Kij / sg2
         for c in range(3):
@@ -230,18 +327,18 @@ def solve_gains(
 
 
 def compute_gains_rotational(
-    images, feathers, R, K, mode, f_pan, x0, y0, R_ref, canvas_hw,
-    cfg: GainConfig = GainConfig(),
+    images, feathers, R, K, sizes, cfg: GainConfig = GainConfig(),
 ):
-    """Full rotational-path gain compensation (device stats + host solve)."""
+    """Full rotational-path gain compensation (device stats + host solve).
+
+    Statistics are sampled on each image's own strided grid
+    (:func:`overlap_statistics_imagespace` — gather-free and the
+    reference's own measure); the canvas-grid variant remains available
+    as :func:`overlap_statistics` for the sharded psum path."""
     if not cfg.enabled:
         return np.ones((images.shape[0], 3), np.float32)
-    Hc, Wc = canvas_hw
-    stride = cfg.grid_stride
-    gh = max(1, int(np.ceil(Hc / stride)))
-    gw = max(1, int(np.ceil(Wc / stride)))
-    Nij, sumC = overlap_statistics(
-        images, feathers, R, K, mode, f_pan, x0, y0, R_ref,
-        jnp.float32(stride), gh, gw,
+    Nij, sumC = overlap_statistics_imagespace(
+        images, feathers, jnp.asarray(sizes, jnp.int32), R, K,
+        int(cfg.grid_stride),
     )
     return solve_gains(np.asarray(Nij), np.asarray(sumC), cfg)

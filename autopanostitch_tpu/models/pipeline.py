@@ -621,26 +621,19 @@ def stitch_component(
     result["straightened"] = straightened
     result["R_render"] = R  # rotations actually used by the renderer
 
+    # per-image gains are projection-independent: the reference solves
+    # them ONCE before rendering (`main.m` gain stage)
+    gains = gain_stage.compute_gains_rotational(
+        images,
+        feathers,
+        jnp.asarray(R.astype(np.float32)),
+        jnp.asarray(K.astype(np.float32)),
+        sizes,
+        cfg.gain,
+    )
     projections: Dict[str, np.ndarray] = {}
-    gains = None  # per-image gains are projection-independent: the
-    # reference solves them ONCE before rendering (`main.m` gain stage);
-    # we evaluate the overlap statistics on the first projection's grid
     for mode in cfg.render.projections:
         canvas = render_stage.compute_canvas(R, K, sizes, mode, cfg.render)
-        if gains is None:
-            gains = gain_stage.compute_gains_rotational(
-                images,
-                feathers,
-                jnp.asarray(R.astype(np.float32)),
-                jnp.asarray(K.astype(np.float32)),
-                mode,
-                canvas["f_pan"],
-                canvas["x0"],
-                canvas["y0"],
-                jnp.asarray(canvas["R_ref"]),
-                (canvas["Hc"], canvas["Wc"]),
-                cfg.gain,
-            )
         blend_mode = cfg.blend.mode
         if blend_mode == "none":
             blend_mode = f"none-{cfg.blend.compose_none_policy}"

@@ -55,6 +55,43 @@ def sample_bilinear(img: Array, x: Array, y: Array):
     return out * valid[..., None], valid
 
 
+def sample_bilinear_batch(imgs: Array, x: Array, y: Array):
+    """Bilinear sampling from a STACK of images, one coordinate set per
+    image, as a single fused gather.
+
+    vmapping `sample_bilinear` over the image axis lowers to a batched XLA
+    gather that moves ~20 M samples/s on TPU; flattening the image axis
+    into the row index (gathering from the (N*H, W, C) view) restores the
+    fast path — the same fix as SIFT's flat-batch window fetch.
+
+    Args:
+      imgs: (N, H, W, C). x, y: (N, ...) per-image sample coordinates.
+    Returns (values (N, ..., C), valid (N, ...)).
+    """
+    N, H, W = imgs.shape[:3]
+    flat = imgs.reshape((N * H,) + imgs.shape[2:])
+    valid = (x >= 0.0) & (x <= W - 1.0) & (y >= 0.0) & (y <= H - 1.0)
+    xc = jnp.clip(x, 0.0, W - 1.0)
+    yc = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    fx = (xc - x0)[..., None]
+    fy = (yc - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    off = (jnp.arange(N, dtype=jnp.int32) * H).reshape((N,) + (1,) * (x.ndim - 1))
+    v00 = _gather_2d(flat, x0i, y0i + off)
+    v01 = _gather_2d(flat, x1i, y0i + off)
+    v10 = _gather_2d(flat, x0i, y1i + off)
+    v11 = _gather_2d(flat, x1i, y1i + off)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    out = (top * (1.0 - fy) + bot * fy) * valid[..., None]
+    return out, valid
+
+
 def sample_nearest(img: Array, x: Array, y: Array):
     """Nearest-neighbour sampling with out-of-bounds masking."""
     H, W = img.shape[0], img.shape[1]
