@@ -204,8 +204,7 @@ def compute_canvas(
 # ---------------------------------------------------------------------------
 
 def _render_tile_impl(
-    images: Array,  # (N, H, W, 3) FULL stack (gathered inside by sel)
-    feathers: Array,  # (N, H, W)
+    images4: Array,  # (N, H, W, 4) FULL stack: RGB + feather channel
     R: Array,  # (N, 3, 3)
     K: Array,  # (N, 3, 3)
     gains: Array,  # (N, 3)
@@ -230,6 +229,12 @@ def _render_tile_impl(
     intersect the tile are sampled (host-selected) — render cost is
     O(tile x C) instead of O(tile x N), the tiled analogue of the
     reference's per-tile contributor logic.
+
+    The feather rides as the stack's 4th channel so it shares the color
+    taps: gather cost on TPU scales with tap POSITIONS, not channels, so
+    the separate bilinear feather lookup (4 extra taps per sample, 20% of
+    the sampling work under bicubic) is free. Interpolation overshoot on
+    the feather ramp is clamped at 0.
     """
     ty, tx = jnp.mgrid[0:tile_h, 0:tile_w]
     xp = tx.astype(jnp.float32) + origin[0]
@@ -237,35 +242,33 @@ def _render_tile_impl(
     d = proj.pano_to_ray(mode, xp, yp, f_pan, x0, y0, R_ref)  # (th, tw, 3)
 
     # gather the contributing subset (device gather from the resident stack)
-    images = images[sel]
-    feathers = feathers[sel]
+    images4 = images4[sel]
     R = R[sel]
     K = K[sel]
     gains = gains[sel] * sel_ok[:, None]
 
     sampler = samp._SAMPLERS[interp]
 
-    def sample_one(img, feather, R_k, K_k, gain, ok):
+    def sample_one(img4, R_k, K_k, gain, ok):
         u, v, front, cosang = proj.project_ray_to_camera(d, R_k, K_k)
-        col, valid = sampler(img, u, v)
-        # feather stays bilinear: it is a weight ramp, and bicubic overshoot
-        # on a ramp can go negative
-        wf, _ = samp.sample_bilinear(feather[..., None], u, v)
+        col4, valid = sampler(img4, u, v)
+        col = col4[..., :3]
+        wf = jnp.maximum(col4[..., 3], 0.0)  # clamp ramp overshoot
         w_ang = jnp.where(front, cosang, 0.0) ** angle_power
-        w = w_ang * jnp.maximum(wf[..., 0], 1e-4) * valid * front * ok
+        w = w_ang * jnp.maximum(wf, 1e-4) * valid * front * ok
         return col * gain[None, None, :], w
 
     if blend_mode == "multiband":
         cols, ws = jax.vmap(sample_one)(
-            images, feathers, R, K, gains, sel_ok.astype(images.dtype)
+            images4, R, K, gains, sel_ok.astype(images4.dtype)
         )
         tile = blend_ops.multiband_blend(cols, ws, bands=bands)
         wsum = jnp.sum(ws, axis=0)
     elif blend_mode == "linear":
         def body(carry, inp):
             acc, wsum = carry
-            img, feather, R_k, K_k, gain, ok = inp
-            col, w = sample_one(img, feather, R_k, K_k, gain, ok)
+            img4, R_k, K_k, gain, ok = inp
+            col, w = sample_one(img4, R_k, K_k, gain, ok)
             return (acc + col * w[..., None], wsum + w), None
 
         # carry init references `origin` so it is device-varying under
@@ -275,7 +278,7 @@ def _render_tile_impl(
         (acc, wsum), _ = jax.lax.scan(
             body,
             (z3, z2),
-            (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
+            (images4, R, K, gains, sel_ok.astype(images4.dtype)),
         )
         tile = acc / jnp.maximum(wsum, 1e-8)[..., None]
     else:
@@ -285,8 +288,8 @@ def _render_tile_impl(
 
         def body(carry, inp):
             tile, wsum, best = carry
-            img, feather, R_k, K_k, gain, ok = inp
-            col, w = sample_one(img, feather, R_k, K_k, gain, ok)
+            img4, R_k, K_k, gain, ok = inp
+            col, w = sample_one(img4, R_k, K_k, gain, ok)
             valid = w > 1e-6
             if policy == "first":
                 write = valid & (wsum <= 1e-6)
@@ -303,7 +306,7 @@ def _render_tile_impl(
         (tile, wsum, _), _ = jax.lax.scan(
             body,
             (z3, z2, z2),
-            (images, feathers, R, K, gains, sel_ok.astype(images.dtype)),
+            (images4, R, K, gains, sel_ok.astype(images4.dtype)),
         )
     # threshold, not >0 (see planar.composite_band): hairline bilinear
     # tails at image borders otherwise count as coverage
@@ -315,10 +318,22 @@ def _render_tile_impl(
     return tile_u8, covered
 
 
-render_tile = partial(
+@partial(
     jax.jit,
     static_argnames=("mode", "tile_h", "tile_w", "blend_mode", "bands", "interp"),
-)(_render_tile_impl)
+)
+def render_tile(
+    images, feathers, R, K, gains, sel, sel_ok, origin, f_pan, x0, y0,
+    R_ref, mode, tile_h, tile_w, blend_mode="linear", bands=3,
+    angle_power=1.0, interp="bilinear",
+):
+    """Single-tile entry point (images and feathers as separate arrays;
+    the batched path pre-concatenates the 4-channel stack once)."""
+    images4 = jnp.concatenate([images, feathers[..., None]], axis=-1)
+    return _render_tile_impl(
+        images4, R, K, gains, sel, sel_ok, origin, f_pan, x0, y0, R_ref,
+        mode, tile_h, tile_w, blend_mode, bands, angle_power, interp,
+    )
 
 
 @partial(
@@ -328,8 +343,7 @@ render_tile = partial(
     ),
 )
 def _render_tiles_batched(
-    images: Array,
-    feathers: Array,
+    images4: Array,  # (N, H, W, 4) RGB + feather channel
     R: Array,
     K: Array,
     gains: Array,
@@ -361,7 +375,7 @@ def _render_tiles_batched(
     def one(args):
         s, ok, org = args
         return _render_tile_impl(
-            images, feathers, R, K, gains, s, ok, org, f_pan, x0, y0, R_ref,
+            images4, R, K, gains, s, ok, org, f_pan, x0, y0, R_ref,
             mode, tile_h, tile_w, blend_mode, bands, angle_power, interp,
         )
 
@@ -377,6 +391,11 @@ def _render_tiles_batched(
         .reshape(tr * tile_h, tc * tile_w)
     )
     return pano, cover
+
+
+@jax.jit
+def _concat_feather(images: Array, feathers: Array) -> Array:
+    return jnp.concatenate([images, feathers[..., None]], axis=-1)
 
 
 def tile_contributors(
@@ -473,8 +492,7 @@ def render_rotational(
     C = min(max_contributors, n)
     sel, sel_ok, origins = tile_contributors(canvas, R, K, sizes, (th, tw), C)
 
-    imgs_d = jnp.asarray(images)
-    fea_d = jnp.asarray(feathers)
+    imgs4_d = _concat_feather(jnp.asarray(images), jnp.asarray(feathers))
     R_d = jnp.asarray(R.astype(np.float32))
     K_d = jnp.asarray(K.astype(np.float32))
     g_d = jnp.asarray(gains.astype(np.float32))
@@ -483,7 +501,7 @@ def render_rotational(
     tr = (Hc + th - 1) // th
     tc = (Wc + tw - 1) // tw
     pano_d, cover_d = _render_tiles_batched(
-        imgs_d, fea_d, R_d, K_d, g_d,
+        imgs4_d, R_d, K_d, g_d,
         jnp.asarray(sel), jnp.asarray(sel_ok), jnp.asarray(origins),
         canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
         canvas["mode"], tr, tc, th, tw, blend_mode, bands, angle_power,
