@@ -273,3 +273,22 @@ class TestHighFidelityRotational:
         err = pano[ys, xs].astype(np.float64) / 255.0 - gt
         p = 10 * np.log10(1.0 / max(np.mean(err**2), 1e-12))
         assert p > 40.0, f"smooth-env rotational PSNR {p:.1f} dB"
+
+
+class TestDegenerateInputs:
+    def test_all_unrelated_images(self):
+        """A set with NO related pairs: zero panoramas, no crash (the
+        P=0 RANSAC path and empty-component discovery)."""
+        views = [synthdata.texture(50 + k, 240, 320) for k in range(3)]
+        iset = make_set(views)
+        res = pipeline.stitch(iset, small_cfg())
+        assert len(res.panoramas) == 0
+        assert not res.graph.accepted.any() if len(res.graph.accepted) else True
+        assert len(np.unique(res.components)) == 3
+
+    def test_single_image(self):
+        """One image: nothing to match, empty result, no crash."""
+        iset = make_set([synthdata.texture(60, 240, 320)])
+        res = pipeline.stitch(iset, small_cfg())
+        assert len(res.panoramas) == 0
+        assert res.graph.pairs.shape[0] == 0
