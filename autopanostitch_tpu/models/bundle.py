@@ -473,6 +473,54 @@ def lm_phase(*args, **kwargs):
         return _lm_phase_body(*args, **kwargs)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("nb", "pb", "iters", "sigma", "f_lo", "f_hi",
+                     "theta_prior", "focal_prior_frac", "max_rot_deg",
+                     "one_direction"),
+)
+def lm_phase_group(
+    R_full, f_full, cx_full, cy_full, data,
+    cam_take_g,  # (G, nb) int32
+    cam_ok_g,  # (G, nb) bool
+    pair_take_g,  # (G, pb) int32
+    pair_ij_g,  # (G, pb, 2) int32
+    pair_ok_g,  # (G, pb) bool
+    cpinv_g,  # (G, nb, nb) f32
+    seed_g,  # (G,) int32
+    focal_frac_g,  # (G,) f32
+    lam0,  # () f32 — lambda resets to this at every phase
+    nb: int,
+    pb: int,
+    iters: int,
+    **static,
+):
+    """A GROUP of same-shape LM phases as one executable (lax.scan).
+
+    The incremental schedule's phases bucket to only a handful of distinct
+    (nb, pb) shapes; dispatching each phase separately paid one relay
+    round-trip per phase (~30 ms x 15 phases dominated BA wall time on
+    this harness: 0.09 s of device compute inside 0.73 s of wall).
+    Returns (R_full, f_full, costs (G,), naccs (G,))."""
+    with jax.default_matmul_precision("highest"):
+
+        def body(carry, xs):
+            Rf, ff = carry
+            ct, co, pt, pij, po, cp, sl, frac = xs
+            Rf, ff, _, cost, nacc = _lm_phase_body(
+                Rf, ff, cx_full, cy_full, data, ct, co, pt, pij, po, cp, sl,
+                lam0, nb=nb, pb=pb, iters=iters, focal_frac=frac, **static,
+            )
+            return (Rf, ff), (cost, nacc)
+
+        (R_full, f_full), (costs, naccs) = jax.lax.scan(
+            body, (R_full, f_full),
+            (cam_take_g, cam_ok_g, pair_take_g, pair_ij_g, pair_ok_g,
+             cpinv_g, seed_g, focal_frac_g),
+        )
+    return R_full, f_full, costs, naccs
+
+
 def _lm_phase_body(
     R_full: Array,  # (N, 3, 3) world->cam rotations — ALL component cameras
     f_full: Array,  # (N,) focals
@@ -785,7 +833,8 @@ def run_incremental_ba(
         one_direction=bool(cfg.residual_one_direction),
     )
 
-    def run_phase(active: list, iters: int, focal_frac: float, lam, couple=True):
+    def phase_arrays(active: list, focal_frac: float, couple: bool):
+        """Host-built index/coupling arrays for one phase, plus (nb, pb)."""
         act = np.asarray(active, np.int64)
         in_act = np.zeros(n, bool)
         in_act[act] = True
@@ -809,45 +858,62 @@ def run_incremental_ba(
             if couple
             else np.zeros((nb, nb), np.float32)
         )
-        seed_local = int(local_of[seed]) if in_act[seed] else 0
-        return lm_phase(
-            state[0], state[1], cx_d, cy_d, data,
-            jnp.asarray(cam_take), jnp.asarray(cam_ok),
-            jnp.asarray(pair_take), jnp.asarray(pij), jnp.asarray(pair_ok),
-            jnp.asarray(cpinv), jnp.int32(seed_local), lam,
-            nb=nb, pb=pb, iters=iters, focal_frac=float(focal_frac), **static,
-        )
+        seed_local = np.int32(local_of[seed] if in_act[seed] else 0)
+        return (nb, pb), (cam_take, cam_ok, pair_take, pij, pair_ok,
+                          cpinv, seed_local, np.float32(focal_frac))
 
+    # phase descriptors: incremental schedule (lambda resets per phase like
+    # the reference — each incremental step calls runLevenbergMarquardt
+    # afresh, `bundleAdjustmentRKf.m:304-306`), then the staged final
+    # passes WITHOUT the focal smoothness/mean coupling (the coupling
+    # stabilizes partial graphs but biases the endgame — measured 0.77%
+    # mean focal error coupled vs 0.01% uncoupled on a clean 100-ring)
+    final_iters = cfg.max_iter_lm // len(cfg.focal_step_fracs) + 1
+    descs = [
+        (phase_arrays(order[:upto], cfg.focal_step_fracs[1], True),
+         cfg.incremental_lm_iters, upto)
+        for upto in steps
+    ] + [
+        (phase_arrays(order, frac, False), final_iters, None)
+        for frac in cfg.focal_step_fracs
+    ]
+
+    # consecutive phases with equal (nb, pb, iters) fuse into ONE scanned
+    # executable — on the relay harness the per-phase dispatch round-trip
+    # dominated BA wall time (see lm_phase_group)
     state = [R_d, f_d]
     cost = jnp.float32(0.0)
     phase_costs = []  # (upto, device cost, active pair count) — synced ONCE
-    for upto in steps:
-        # reset lambda per phase like the reference (each incremental step
-        # calls runLevenbergMarquardt afresh, `bundleAdjustmentRKf.m:304-306`)
-        R_new, f_new, lam, cost, nacc = run_phase(
-            order[:upto], cfg.incremental_lm_iters, cfg.focal_step_fracs[1],
+    i = 0
+    while i < len(descs):
+        (shape, _), iters, _ = descs[i]
+        j = i
+        while j < len(descs) and descs[j][0][0] == shape and descs[j][1] == iters:
+            j += 1
+        group = descs[i:j]
+        stacked = tuple(
+            jnp.asarray(np.stack([g[0][1][k] for g in group]))
+            for k in range(8)
+        )
+        R_new, f_new, costs, naccs = lm_phase_group(
+            state[0], state[1], cx_d, cy_d, data, *stacked,
             jnp.float32(cfg.lambda0),
+            nb=shape[0], pb=shape[1], iters=iters, **static,
         )
         state = [R_new, f_new]
-        in_act = np.zeros(n, bool)
-        in_act[order[:upto]] = True
-        npair = int(np.count_nonzero(in_act[loc_pairs[:, 0]] & in_act[loc_pairs[:, 1]]))
-        phase_costs.append((upto, cost, npair))
-        if verbose:
-            print(f"  phase n={upto}: cost={float(cost):.1f} lam={float(lam):.2e} acc={int(nacc)}/{cfg.incremental_lm_iters}")
-    # Final passes run WITHOUT the focal smoothness/mean coupling: the
-    # coupling stabilizes the incremental phases (partial graphs, weak
-    # overlaps) but biases the endgame — measured on a clean 100-camera
-    # ring it leaves a 0.77% mean focal error that uncoupled final passes
-    # reduce to 0.01%.
-    final_iters = cfg.max_iter_lm // len(cfg.focal_step_fracs) + 1
-    for frac in cfg.focal_step_fracs:
-        R_new, f_new, lam, cost, nacc = run_phase(
-            order, final_iters, frac, jnp.float32(cfg.lambda0), couple=False
-        )
-        state = [R_new, f_new]
-        if verbose:
-            print(f"  final frac={frac}: cost={float(cost):.1f} lam={float(lam):.2e} acc={int(nacc)}/{final_iters}")
+        cost = costs[-1]
+        for gi, (_, _, upto) in enumerate(group):
+            if upto is not None:  # incremental phase: track for RMSE check
+                in_act = np.zeros(n, bool)
+                in_act[order[:upto]] = True
+                npair = int(np.count_nonzero(
+                    in_act[loc_pairs[:, 0]] & in_act[loc_pairs[:, 1]]))
+                phase_costs.append((upto, costs[gi], npair))
+            if verbose:
+                tag = f"n={upto}" if upto is not None else "final"
+                print(f"  phase {tag}: cost={float(costs[gi]):.1f} "
+                      f"acc={int(naccs[gi])}/{iters}")
+        i = j
 
     # RMSE-history anomaly check (`bundleAdjustmentRKf.m:308-325`): a phase
     # whose per-match RMSE jumps >2.5x the running median flags a
