@@ -74,12 +74,10 @@ from autopanostitch_tpu.models.annotate import (  # noqa: F401
     warped_boxes_rotational,
     warped_boxes_planar,
     draw_annotations,
-)
-from autopanostitch_tpu.parallel.pipeline import (  # noqa: F401
-    stitch_multichip,
-)
-from autopanostitch_tpu.models.annotate import (  # noqa: F401
     draw_keypoints,
     draw_matches,
     draw_adjacency_graph,
+)
+from autopanostitch_tpu.parallel.pipeline import (  # noqa: F401
+    stitch_multichip,
 )

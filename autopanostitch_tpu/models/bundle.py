@@ -462,19 +462,6 @@ def _huber_w(r2: Array, sigma: float) -> Array:
 
 @partial(
     jax.jit,
-    static_argnames=("nb", "pb", "iters", "focal_frac", "sigma", "f_lo", "f_hi",
-                     "theta_prior", "focal_prior_frac", "max_rot_deg",
-                     "one_direction"),
-)
-def lm_phase(*args, **kwargs):
-    """Jitted wrapper: trace the phase body with f32 matmul precision (TPU
-    matmuls default to bf16, which stalls LM convergence — see _project)."""
-    with jax.default_matmul_precision("highest"):
-        return _lm_phase_body(*args, **kwargs)
-
-
-@partial(
-    jax.jit,
     static_argnames=("nb", "pb", "iters", "sigma", "f_lo", "f_hi",
                      "theta_prior", "focal_prior_frac", "max_rot_deg",
                      "one_direction"),
@@ -1043,7 +1030,7 @@ def run_bundle_adjustment(
     # adds one camera per step, `bundleAdjustmentRKf.m:146-326` — at one
     # LM phase per camera a 100-camera panorama would pay 100x the solver
     # cost for negligible accuracy gain). Each phase runs on the COMPACT
-    # subsystem of the active cameras (see lm_phase).
+    # subsystem of the active cameras (see lm_phase_group).
     order = incremental_order(loc_counts, np.arange(n), seed)
 
     R_ba, f_ba, cost = run_incremental_ba(

@@ -182,7 +182,7 @@ def bundle_adjust_h(
         Hd = Hd + jnp.diag(jnp.where(col_mask > 0, 0.0, 1.0))
         L = jax.scipy.linalg.cho_factor(Hd)
         delta = -jax.scipy.linalg.cho_solve(L, g)
-        # NaN guard (solver-robustness fallback, cf. bundle.lm_phase)
+        # NaN guard (solver-robustness fallback, cf. bundle.lm_phase_group)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         cand = params + delta.reshape(N, 8)
         _, _, cost_new = build(cand)

@@ -49,6 +49,11 @@ def stitch_multichip(
     single-chip path). The pooled-matching global mode is used regardless
     of `matching.match_pairwise` (the pairwise matcher is not sharded).
     """
+    if cfg.detector.detector.upper() not in ("SIFT", "VL_SIFT"):
+        raise ValueError(
+            "stitch_multichip shards the SIFT extractor; detector="
+            f"{cfg.detector.detector!r} runs through pipeline.stitch"
+        )
     mesh = mesh if mesh is not None else pmesh.make_mesh()
     n_dev = int(mesh.devices.size)
     key = jax.random.PRNGKey(seed)
@@ -61,12 +66,23 @@ def stitch_multichip(
 
     # ---- sharded extraction (images DP over chips) ----
     gray = sift.rgb_to_gray(images)
+    sizes_det = np.asarray(image_set.sizes)
+    scale_back = 1.0
+    if cfg.detector.upsample_input:  # Lowe octave -1, like extract_features
+        N_, H_, W_ = gray.shape
+        gray = jax.image.resize(gray, (N_, 2 * H_, 2 * W_), "linear")
+        sizes_det = sizes_det * 2
+        scale_back = 0.5
     N = image_set.n
     pad = (-N) % n_dev
     gray_p = jnp.pad(gray, ((0, pad), (0, 0), (0, 0)))
     feats = sharded.sharded_extract(gray_p, mesh, cfg.detector)
     feats = jax.tree_util.tree_map(lambda x: x[:N], feats)
-    feats = features_stage.mask_borders(feats, image_set.sizes)
+    feats = features_stage.mask_borders(feats, sizes_det)
+    if scale_back != 1.0:
+        feats = feats._replace(
+            xy=feats.xy * scale_back, scale=feats.scale * scale_back
+        )
 
     # ---- sharded pooled global matching ----
     K = feats.desc.shape[1]
@@ -95,7 +111,7 @@ def stitch_multichip(
     P = len(pairs)
     src = xy[pairs[:, 0][:, None], pair_idx[:, :, 0]] if P else np.zeros((0, 1, 2))
     dst = xy[pairs[:, 1][:, None], pair_idx[:, :, 1]] if P else np.zeros((0, 1, 2))
-    keys = jax.random.split(key, max(P, 1))[: max(P, 1)]
+    keys = jax.random.split(key, max(P, 1))
     im = cfg.image_match
     alpha, beta = pl._acceptance(im)
     if P:
@@ -119,17 +135,42 @@ def stitch_multichip(
         accepted=np.asarray(out["accepted"]), counts=counts,
     )
 
-    # ---- discovery + per-component BA/render (replicated control plane) ----
+    # ---- discovery + per-component BA/render (replicated control plane),
+    # including the same second-pass logic as the single-chip path ----
     comps = pl.connected_components(N, graph.pairs, graph.accepted)
     panoramas = []
     for label in np.unique(comps):
         members = np.nonzero(comps == label)[0]
         if len(members) < 2:
             continue
-        panoramas.append(
-            pl.stitch_component(image_set, graph, feats, members, cfg,
-                                images_dev=images, feathers_dev=feathers)
-        )
+        result = None
+        if cfg.matching.second_pass and len(members) < N:
+            if cfg.matching.resize_panorama_cluster:
+                sp = pl.second_pass_component(image_set, members, cfg,
+                                              jax.random.fold_in(key, 2))
+                if sp is not None and np.asarray(sp[3].accepted).any():
+                    comp_set, comp_images, comp_feats, comp_graph = sp
+                    comp_feathers = samp_ops.feather_stack(
+                        jnp.asarray(comp_set.sizes, np.int32),
+                        comp_set.images.shape[1], comp_set.images.shape[2],
+                    )
+                    result = pl.stitch_component(
+                        comp_set, comp_graph, comp_feats,
+                        np.arange(len(members)), cfg,
+                        images_dev=comp_images, feathers_dev=comp_feathers,
+                    )
+                    result["members"] = members
+            if result is None:
+                comp_graph = pl.second_pass_matching(feats, members, graph,
+                                                     cfg, key)
+                result = pl.stitch_component(image_set, comp_graph, feats,
+                                             members, cfg, images_dev=images,
+                                             feathers_dev=feathers)
+        else:
+            result = pl.stitch_component(image_set, graph, feats, members, cfg,
+                                         images_dev=images,
+                                         feathers_dev=feathers)
+        panoramas.append(result)
     return pl.StitchResult(
         panoramas=panoramas, graph=graph, components=comps, features=feats
     )
