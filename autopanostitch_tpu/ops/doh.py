@@ -48,18 +48,15 @@ def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatu
     sigmas = [cfg.sigma * (k**i) for i in range(n_scales)]
     resp = jnp.stack([_doh_response(img, s) for s in sigmas])  # (S, H, W)
 
-    # 3x3x3 scale-space non-max suppression (interior scales only)
+    # 3x3x3 scale-space non-max suppression (interior scales only) — one
+    # reduce_window like the SIFT extrema (26 rolls copied the full
+    # response volume 26 times)
     center = resp[1:-1]
-    is_max = jnp.ones_like(center, bool)
-    for ds in (-1, 0, 1):
-        layer = resp[1 + ds : n_scales - 1 + ds]
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                is_max = is_max & (center > jnp.roll(layer, (-dy, -dx), (1, 2)))
+    mx = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )[1:-1]
     thr = 1e-6
-    is_max = is_max & (center > thr)
+    is_max = (center >= mx) & (center > thr)
     b = 8
     is_max = is_max.at[:, :b, :].set(False).at[:, -b:, :].set(False)
     is_max = is_max.at[:, :, :b].set(False).at[:, :, -b:].set(False)
@@ -89,7 +86,10 @@ def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatu
         ly = yi - cy_.astype(jnp.float32)
         hist = sift_ops._orientation_hist_dense(wdx, wdy, lx, ly, srel)
         thetas, th_ok = sift_ops._dominant_orientations(hist)
-        desc = sift_ops._descriptor_dense(wdx, wdy, lx, ly, srel, thetas[0])
+        desc = sift_ops._descriptor_dense(
+            wdx, wdy, lx, ly, srel, thetas[0],
+            cfg.descriptor_width, cfg.descriptor_bins,
+        )
         return thetas[0], th_ok[0], desc
 
     chunk = 256
@@ -101,9 +101,10 @@ def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatu
     xs_in = (pad_to(x), pad_to(y), pad_to(si), pad_to(sigma_kp))
     xs_in = tuple(v.reshape(cap_pad // chunk, chunk) for v in xs_in)
     theta, th_ok, desc = jax.lax.map(lambda t: jax.vmap(per_kp)(*t), xs_in)
+    Dd = cfg.descriptor_width**2 * cfg.descriptor_bins
     theta = theta.reshape(cap_pad)[:K]
     th_ok = th_ok.reshape(cap_pad)[:K]
-    desc = desc.reshape(cap_pad, 128)[:K]
+    desc = desc.reshape(cap_pad, Dd)[:K]
 
     mask = valid & th_ok
     return SiftFeatures(
