@@ -158,3 +158,46 @@ def test_stitch_multichip_matches_single_chip():
     b = ps["projections"]["spherical"].astype(np.int16)
     assert a.shape == b.shape
     assert np.mean(np.abs(a - b)) < 1.0  # same panorama up to fp noise
+
+
+def test_stitch_multichip_multi_panorama_second_pass():
+    """Multi-component set through the mesh-sharded path: same discovery
+    and second-pass behavior as single-chip."""
+    import synthdata
+    from autopanostitch_tpu.config import (
+        BundleConfig, DetectorConfig, ImageMatchConfig, MatchingConfig,
+        StitchConfig, StraightenConfig,
+    )
+    from autopanostitch_tpu.models import pipeline as sp
+    from autopanostitch_tpu.parallel import mesh as pmesh
+    from autopanostitch_tpu.parallel import pipeline as mp
+    from autopanostitch_tpu.utils.image_io import ImageSet
+
+    env_a = synthdata.texture(71, 400, 700)
+    env_b = synthdata.texture(72, 400, 700)
+    va = synthdata.planar_crops(env_a, [(0, 0, 400, 340), (260, 20, 400, 340)])
+    vb = synthdata.planar_crops(env_b, [(20, 10, 400, 340), (280, 0, 400, 340)])
+    views = [va[0], vb[0], va[1], vb[1]]
+    sizes = np.array([v.shape[:2] for v in views], np.int32)
+    stack = (np.stack(views) * 255).astype(np.uint8)
+    iset = ImageSet(images=stack, sizes=sizes,
+                    names=[f"v{k}" for k in range(4)])
+    cfg = StitchConfig(
+        detector=DetectorConfig(max_keypoints=384, num_octaves=3),
+        matching=MatchingConfig(max_matches_per_pair=256),
+        image_match=ImageMatchConfig(ransac_batch=256),
+        bundle=BundleConfig(incremental_lm_iters=6, max_iter_lm=15),
+        straighten=StraightenConfig(force_planar_scan=True),
+    )
+    res_m = mp.stitch_multichip(iset, cfg, mesh=pmesh.make_mesh(8), seed=0)
+    res_s = sp.stitch(iset, cfg, seed=0)
+    assert len(res_m.panoramas) == len(res_s.panoramas) == 2
+    mm = sorted(tuple(sorted(p["members"].tolist())) for p in res_m.panoramas)
+    ms = sorted(tuple(sorted(p["members"].tolist())) for p in res_s.panoramas)
+    assert mm == ms == [(0, 2), (1, 3)]
+    # non-SIFT detectors are rejected with a clear error
+    import pytest
+
+    bad = cfg.replace(detector=DetectorConfig(detector="ORB"))
+    with pytest.raises(ValueError, match="SIFT"):
+        mp.stitch_multichip(iset, bad, mesh=pmesh.make_mesh(8))
