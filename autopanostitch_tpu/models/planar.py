@@ -135,13 +135,18 @@ def composite_band(
     """One canvas row band: warp every image into the band and blend."""
 
     def warp_one(img, feather, Hi, ok, gain):
-        col, _ = samp.warp_homography(
-            img * gain[None, None, :], Hi, band_h, out_w, x0, y0, method=interp
+        # feather rides as the 4th channel so it shares the color taps
+        # (gather cost scales with tap positions, not channels — same
+        # optimization as the rotational tile kernel); interpolation
+        # overshoot on the ramp is clamped at 0
+        img4 = jnp.concatenate(
+            [img * gain[None, None, :], feather[..., None]], axis=-1
         )
-        # feather stays bilinear (bicubic overshoot on a ramp can go negative)
-        w, _ = samp.warp_homography(feather[..., None], Hi, band_h, out_w, x0, y0)
-        w = w[..., 0] * ok
-        return col * ok, w
+        col4, _ = samp.warp_homography(
+            img4, Hi, band_h, out_w, x0, y0, method=interp
+        )
+        w = jnp.maximum(col4[..., 3], 0.0) * ok
+        return col4[..., :3] * ok, w
 
     okf = valid.astype(images.dtype)
     if blend_mode == "multiband":
