@@ -73,9 +73,19 @@ def _bounds_per_camera(
             lo_v = jnp.nanpercentile(vn, pct_lo)
             hi_v = jnp.nanpercentile(vn, pct_hi)
         else:
+            # angular modes: measure azimuth extents RELATIVE to the
+            # camera's central azimuth, so a camera straddling the u = +-pi
+            # seam gets its true ~FOV-wide bounds instead of degenerating
+            # to (-pi, pi) — degenerate bounds made seam cameras look like
+            # they overlap EVERY tile, poisoning contributor selection
+            # (coverage collapsed to 0.24 on a 100-view ring)
             big = jnp.float32(1e9)
-            lo_u = jnp.min(jnp.where(valid, u, big))
-            hi_u = jnp.max(jnp.where(valid, u, -big))
+            fwd = proj.normalize_rays(R_k[2, :][None, None, :])  # +Z world
+            u_c, _, _ = proj.ray_to_pano(mode, fwd, R_ref)
+            u_cen = u_c.reshape(())
+            du = jnp.mod(u - u_cen + jnp.pi, 2 * jnp.pi) - jnp.pi
+            lo_u = u_cen + jnp.min(jnp.where(valid, du, big))
+            hi_u = u_cen + jnp.max(jnp.where(valid, du, -big))
             lo_v = jnp.min(jnp.where(valid, v, big))
             hi_v = jnp.max(jnp.where(valid, v, -big))
         return jnp.stack([lo_u, hi_u, lo_v, hi_v])
@@ -144,6 +154,11 @@ def compute_canvas(
     )
     u0, u1 = float(b[:, 0].min()), float(b[:, 1].max())
     v0, v1 = float(b[:, 2].min()), float(b[:, 3].max())
+
+    if mode in ("cylindrical", "spherical", "equirectangular") and u1 - u0 > 2 * np.pi:
+        # camera-centered azimuth bounds can overhang +-pi on closed rings;
+        # the canvas itself is at most one full turn
+        u0, u1 = -np.pi, np.pi
 
     if mode == "equirectangular":
         # fitted bounds clipped to the full sphere (a 60-degree panorama no
@@ -438,16 +453,54 @@ def tile_contributors(
     shifts = np.array([0.0] if wrap is None else [0.0, wrap, -wrap])  # (S,)
     tx0 = origins[:, 0][:, None, None]  # (T, 1, 1)
     ty0 = origins[:, 1][:, None, None]
-    ox = np.minimum(px[None, :, 1, None] + shifts, tx0 + tw) - np.maximum(
-        px[None, :, 0, None] + shifts, tx0
+    oy = np.clip(
+        np.minimum(py[None, :, 1, None], ty0 + th)
+        - np.maximum(py[None, :, 0, None], ty0),
+        0, None,
     )  # (T, N, S)
-    oy = np.minimum(py[None, :, 1, None], ty0 + th) - np.maximum(
-        py[None, :, 0, None], ty0
+
+    def col_overlap(seg_x0, seg_w):
+        ox = np.minimum(px[None, :, 1, None] + shifts, seg_x0 + seg_w) - np.maximum(
+            px[None, :, 0, None] + shifts, seg_x0
+        )
+        return (np.clip(ox, 0, None) * oy).max(-1)  # (T, N)
+
+    areas = col_overlap(tx0, tw)  # whole-tile overlap (T, N)
+    C = max_contributors
+    # Per-COLUMN-SEGMENT selection: on dense rings a tile can span more
+    # yaw than one camera's FOV, and the top-C cameras by WHOLE-TILE
+    # overlap then cluster on one side, leaving the other side of the
+    # tile uncovered (measured: 100-view ring coverage collapsed to 0.24
+    # with tile-level top-6). Picking the best camera for each of C
+    # column segments guarantees contributors spread across the tile.
+    seg_w = tw / C
+    seg_best = np.stack(
+        [np.argmax(col_overlap(tx0 + s * seg_w, seg_w), axis=1) for s in range(C)],
+        axis=1,
+    )  # (T, C)
+    seg_area = np.stack(
+        [col_overlap(tx0 + s * seg_w, seg_w).max(axis=1) for s in range(C)],
+        axis=1,
     )
-    areas = (np.clip(ox, 0, None) * np.clip(oy, 0, None)).max(-1)  # (T, N)
-    order = np.argsort(-areas, axis=1)[:, :max_contributors]  # (T, C)
-    ok = np.take_along_axis(areas, order, axis=1) > 0
-    return order.astype(np.int32), ok, origins.astype(np.float32)
+    rank = np.argsort(-areas, axis=1)  # (T, N) whole-tile fallback order
+    T = origins.shape[0]
+    sel = np.zeros((T, C), np.int64)
+    ok = np.zeros((T, C), bool)
+    for t in range(T):
+        chosen = []
+        for s in range(C):
+            cand = int(seg_best[t, s])
+            if seg_area[t, s] > 0 and cand not in chosen:
+                chosen.append(cand)
+        for cand in rank[t]:  # fill remaining slots by whole-tile overlap
+            if len(chosen) >= C:
+                break
+            cand = int(cand)
+            if areas[t, cand] > 0 and cand not in chosen:
+                chosen.append(cand)
+        sel[t, : len(chosen)] = chosen
+        ok[t, : len(chosen)] = True
+    return sel.astype(np.int32), ok, origins.astype(np.float32)
 
 
 def render_rotational(

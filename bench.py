@@ -171,6 +171,7 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
         "pano100_ferr_pct": round(float(np.abs(f_est - f_true).max() / f_true * 100), 4),
         "pano100_n_views": n_views,
         "pano100_canvas": [int(pano.shape[0]), int(pano.shape[1])],
+        "pano100_coverage": round(float(np.mean(cover)), 3),
     }
 
 

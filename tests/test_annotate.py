@@ -112,3 +112,28 @@ def test_draw_adjacency_graph():
     assert out.shape == (640, 640, 3)
     grey = (np.abs(out.astype(int) - 120) < 10).all(axis=-1)
     assert grey.any()  # edges drawn
+
+
+def test_dense_ring_coverage():
+    """Regression: contributor selection on a ring denser than one tile's
+    span must still cover the whole canvas (tile-level top-C once
+    clustered on one side, and seam-straddling cameras once degenerated
+    to (-pi, pi) bounds, collapsing 100-view coverage to 0.24)."""
+    import synthdata
+    from autopanostitch_tpu.config import RenderConfig
+    from autopanostitch_tpu.models import render as rstage
+    from autopanostitch_tpu.ops import sampling as samp_ops
+
+    n, f = 48, 300.0
+    R = np.stack([synthdata.rot_y(i * 2 * np.pi / n).T for i in range(n)]).astype(np.float32)
+    K = np.tile(np.diag([f, f, 1.0]).astype(np.float32), (n, 1, 1))
+    sizes = np.tile(np.array([120, 160], np.int32), (n, 1))
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(n, 120, 160, 3)).astype(np.float32)
+    fea = np.asarray(samp_ops.feather_stack(jnp.asarray(sizes), 120, 160))
+    canvas = rstage.compute_canvas(R, K, sizes, "spherical", RenderConfig())
+    pano, cov = rstage.render_rotational(imgs, fea, R, K, canvas,
+                                         blend_mode="linear", sizes=sizes)
+    assert float(np.mean(cov)) > 0.9
+    colcov = np.asarray(cov).mean(axis=0)
+    assert float(np.quantile(colcov, 0.05)) > 0.5  # no dead columns
