@@ -459,29 +459,37 @@ def tile_contributors(
         0, None,
     )  # (T, N, S)
 
-    def col_overlap(seg_x0, seg_w):
+    def seg_overlap(seg_x0, seg_w, seg_y0, seg_h):
         ox = np.minimum(px[None, :, 1, None] + shifts, seg_x0 + seg_w) - np.maximum(
             px[None, :, 0, None] + shifts, seg_x0
         )
-        return (np.clip(ox, 0, None) * oy).max(-1)  # (T, N)
+        oy_s = np.minimum(py[None, :, 1, None], seg_y0 + seg_h) - np.maximum(
+            py[None, :, 0, None], seg_y0
+        )
+        return (np.clip(ox, 0, None) * np.clip(oy_s, 0, None)).max(-1)  # (T, N)
 
-    areas = col_overlap(tx0, tw)  # whole-tile overlap (T, N)
+    areas = seg_overlap(tx0, tw, ty0, th)  # whole-tile overlap (T, N)
     C = max_contributors
-    # Per-COLUMN-SEGMENT selection: on dense rings a tile can span more
-    # yaw than one camera's FOV, and the top-C cameras by WHOLE-TILE
-    # overlap then cluster on one side, leaving the other side of the
-    # tile uncovered (measured: 100-view ring coverage collapsed to 0.24
-    # with tile-level top-6). Picking the best camera for each of C
-    # column segments guarantees contributors spread across the tile.
-    seg_w = tw / C
-    seg_best = np.stack(
-        [np.argmax(col_overlap(tx0 + s * seg_w, seg_w), axis=1) for s in range(C)],
-        axis=1,
-    )  # (T, C)
-    seg_area = np.stack(
-        [col_overlap(tx0 + s * seg_w, seg_w).max(axis=1) for s in range(C)],
-        axis=1,
-    )
+    # Per-SEGMENT selection: a tile can span more of the panorama than one
+    # camera's FOV, and the top-C cameras by WHOLE-TILE overlap then
+    # cluster on one side, leaving the rest of the tile uncovered
+    # (measured: 100-view ring coverage collapsed to 0.24 with tile-level
+    # top-6). Picking the best camera for each cell of an sr x sc grid
+    # over the tile (sr*sc = C, split by aspect so multi-row rigs spread
+    # vertically too) guarantees contributors cover the whole tile.
+    sr = int(np.clip(round(np.sqrt(C * th / tw)), 1, C))
+    while C % sr:
+        sr -= 1
+    sc = C // sr
+    seg_w = tw / sc
+    seg_h = th / sr
+    cells = [(r, c) for r in range(sr) for c in range(sc)]
+    seg_ov = [
+        seg_overlap(tx0 + c * seg_w, seg_w, ty0 + r * seg_h, seg_h)
+        for r, c in cells
+    ]
+    seg_best = np.stack([np.argmax(o, axis=1) for o in seg_ov], axis=1)  # (T, C)
+    seg_area = np.stack([o.max(axis=1) for o in seg_ov], axis=1)
     rank = np.argsort(-areas, axis=1)  # (T, N) whole-tile fallback order
     T = origins.shape[0]
     sel = np.zeros((T, C), np.int64)
