@@ -191,11 +191,12 @@ class RenderConfig:
     crop_border: bool = True
     tile: Tuple[int, int] = (512, 512)
     # per-tile contributor cap: only the C best-overlapping images are
-    # sampled per canvas tile (render cost is O(canvas x C)). On a dense
-    # 100-camera ring, C=6 measured BETTER PSNR than C=8 (48.0 vs 47.7 dB:
-    # far-off-axis cameras add misregistration blur, and the feather/angle
-    # weights already favor the central ones) at 25% less render time.
-    max_contributors: int = 6
+    # sampled per canvas tile (render cost is O(canvas x C)). None (the
+    # default) sizes C automatically from the tiles' needs — a yaw ring
+    # settles near 6 (which also measured BETTER PSNR than 8: far
+    # off-axis cameras add misregistration blur), a 4-row rig gets the
+    # ~12 it needs for full coverage. Set an int to pin it.
+    max_contributors: Optional[int] = None
     # 'black' | 'white' fill for uncovered canvas (inputs.m canvasColor)
     canvas_color: str = "black"
     # resampling filter in the compositing gather ('nearest' | 'bilinear' |

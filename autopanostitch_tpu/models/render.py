@@ -419,12 +419,13 @@ def tile_contributors(
     K: np.ndarray,
     sizes: np.ndarray,
     tile: tuple,
-    max_contributors: int = 8,
+    max_contributors: int | None = None,
 ):
     """Host control plane: for every tile, pick the <= C images whose
     projected bounds intersect it (with wrap-around handling for the
-    angular projections). Returns (sel (T, C) int32, sel_ok (T, C) bool,
-    tile_origins (T, 2) int)."""
+    angular projections). max_contributors=None sizes C automatically from
+    the tiles' needs (see below). Returns (sel (T, C) int32,
+    sel_ok (T, C) bool, tile_origins (T, 2) int)."""
     mode = canvas["mode"]
     Hc, Wc = canvas["Hc"], canvas["Wc"]
     th, tw = tile
@@ -469,6 +470,23 @@ def tile_contributors(
         return (np.clip(ox, 0, None) * np.clip(oy_s, 0, None)).max(-1)  # (T, N)
 
     areas = seg_overlap(tx0, tw, ty0, th)  # whole-tile overlap (T, N)
+    if max_contributors is None:
+        # auto cap: probe a fine 4x4 grid per tile and size C to the
+        # largest number of DISTINCT best-cameras any tile needs, so a
+        # yaw ring stays cheap (~6) while a multi-row rig gets the ~12 it
+        # needs for full coverage (measured: fixed C=6 left lens-shaped
+        # holes at a 4-row rig's row boundaries)
+        fine = []
+        fw, fh = tw / 4.0, th / 4.0
+        for r in range(4):
+            for c in range(4):
+                o = seg_overlap(tx0 + c * fw, fw, ty0 + r * fh, fh)
+                fine.append(np.where(o.max(1) > 0, np.argmax(o, 1), -1))
+        fine = np.stack(fine, axis=1)  # (T, 16) best camera per fine cell
+        need = max(
+            int(len(set(row[row >= 0].tolist()))) for row in fine
+        ) if fine.size else 4
+        max_contributors = int(np.clip(need, 4, 16))
     C = max_contributors
     # Per-SEGMENT selection: a tile can span more of the panorama than one
     # camera's FOV, and the top-C cameras by WHOLE-TILE overlap then
@@ -523,7 +541,7 @@ def render_rotational(
     tile: tuple = (512, 512),
     angle_power: float = 1.0,
     sizes: np.ndarray | None = None,
-    max_contributors: int = 8,
+    max_contributors: int | None = None,
     interp: str = "bilinear",
 ):
     """Full rotational panorama: ONE jitted dispatch mapping the tile
@@ -550,8 +568,9 @@ def render_rotational(
         gains = np.ones((n, 3), np.float32)
     if sizes is None:
         sizes = np.tile(np.array(images.shape[1:3], np.int32), (n, 1))
-    C = min(max_contributors, n)
-    sel, sel_ok, origins = tile_contributors(canvas, R, K, sizes, (th, tw), C)
+    C_arg = None if max_contributors is None else min(max_contributors, n)
+    sel, sel_ok, origins = tile_contributors(canvas, R, K, sizes, (th, tw), C_arg)
+    C = sel.shape[1]
 
     imgs4_d = _concat_feather(jnp.asarray(images), jnp.asarray(feathers))
     R_d = jnp.asarray(R.astype(np.float32))
