@@ -292,3 +292,41 @@ class TestDegenerateInputs:
         res = pipeline.stitch(iset, small_cfg())
         assert len(res.panoramas) == 0
         assert res.graph.pairs.shape[0] == 0
+
+
+class TestMultiRowRig:
+    def test_two_row_sphere_rig(self):
+        """A 2-row x 8 capture rig (the '360x180' capture style): BA must
+        solve the 2-D match graph and the renderer must cover both rows
+        without contributor starvation at the row boundary."""
+        env = synthdata.smooth_texture(9, 512, 1280)
+        f_true = 200.0
+        views, Rs = [], []
+        for r, pitch in enumerate((-0.26, 0.26)):
+            for i in range(8):
+                yaw = (i + 0.5 * r) * 2 * np.pi / 8
+                R = (synthdata.rot_x(pitch) @ synthdata.rot_y(yaw)).T
+                views.append(synthdata.render_pinhole_from_equirect(
+                    env, R, f_true, 256, 192, "bicubic"))
+                Rs.append(R)
+        iset = make_set([v.astype(np.float32) for v in views])
+        cfg = small_cfg(planar=False).replace(
+            render=RenderConfig(projections=("spherical",),
+                                interpolation="bicubic"),
+            blend=BlendConfig(mode="multiband"),
+            straighten=StraightenConfig(enabled=False),
+        )
+        res = pipeline.stitch(iset, cfg)
+        assert len(res.panoramas) == 1
+        pr = res.panoramas[0]
+        f_est = np.asarray(pr["ba"]["cameras"].f)
+        assert np.all(np.abs(f_est - f_true) / f_true < 0.03), f_est
+        cover = pr["coverage_by_mode"]["spherical"]
+        # both rows covered: the canvas (with margins and tilted-view
+        # corners) is ~0.65 coverable for this geometry; demand most of
+        # that (contributor starvation at the row boundary once left
+        # lens-shaped holes here)
+        assert float(np.mean(cover)) > 0.6, float(np.mean(cover))
+        rowcov = np.asarray(cover).mean(axis=1)
+        mid = rowcov[len(rowcov) // 3 : 2 * len(rowcov) // 3]
+        assert float(mid.min()) > 0.5  # no dead band at the row boundary
