@@ -96,6 +96,12 @@ def stitch_dataset(name: str, paths, cfg, out_dir: str):
                 fname = f"{mode}_{name}_{pano_i}_cropbbox.png"
                 save_image(os.path.join(out_dir, fname), img)
                 print(f"  wrote {fname}")
+            # annotated panorama with per-image numbers
+            # (reference `cropNsavePanorama.m:121-208` imgsNumsPanorama)
+            for mode, img in (pano.get("projections_annotated") or {}).items():
+                fname = f"{mode}_{name}_{pano_i}_annotated.png"
+                save_image(os.path.join(out_dir, fname), img)
+                print(f"  wrote {fname}")
         if cfg.post.image_write and (cfg.post.show_keypoints_plot
                                      or cfg.post.show_adjacency_graph):
             from autopanostitch_tpu.models import annotate

@@ -18,16 +18,28 @@ import numpy as np
 
 
 def mask_from_color(pano: np.ndarray, canvas_color: str = "black",
-                    black_range: int = 0, white_range: int = 250) -> np.ndarray:
+                    black_range: int = 0, white_range: int = 250,
+                    fill_holes: bool = True) -> np.ndarray:
     """Valid-pixel mask by thresholding against the canvas color
-    (reference `panoramaCropper.m:73-88`; thresholds `inputs.m:117-118`)."""
+    (reference `panoramaCropper.m:73-88`; thresholds `inputs.m:117-118`).
+
+    Interior holes — shadow pixels darker than ``black_range`` or highlights
+    brighter than ``white_range`` inside the panorama — are filled like the
+    reference's `imfill(BW, 'holes')` (`panoramaCropper.m:85`), so they do not
+    shrink the inscribed-rectangle crop."""
     if pano.dtype != np.uint8:
         img = (np.clip(pano, 0, 1) * 255).astype(np.uint8)
     else:
         img = pano
     if canvas_color == "white":
-        return (img <= white_range).any(axis=-1)
-    return (img > black_range).any(axis=-1)
+        mask = (img <= white_range).any(axis=-1)
+    else:
+        mask = (img > black_range).any(axis=-1)
+    if fill_holes and mask.any():
+        from scipy.ndimage import binary_fill_holes
+
+        mask = binary_fill_holes(mask)
+    return mask
 
 
 def fill_canvas_color(pano: np.ndarray, mask: np.ndarray,

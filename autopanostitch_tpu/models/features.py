@@ -58,6 +58,16 @@ def _to_float_any(raw: jax.Array) -> jax.Array:
     return raw
 
 
+def should_upsample(cfg: DetectorConfig, sizes) -> bool:
+    """Resolve the upsample_input tri-state: None = auto (upsample when the
+    largest valid image dimension is under cfg.upsample_below px — the
+    regime where the reference's always-upsampling detectSIFTFeatures
+    materially out-detects a non-upsampled pyramid)."""
+    if cfg.upsample_input is not None:
+        return bool(cfg.upsample_input)
+    return int(np.asarray(sizes).max()) < int(cfg.upsample_below)
+
+
 def extract_features(
     images: jax.Array,
     sizes: np.ndarray,
@@ -75,7 +85,7 @@ def extract_features(
     gray = sift.rgb_to_gray(images)
     det = cfg.detector.upper()
     scale_back = 1.0
-    if cfg.upsample_input:
+    if should_upsample(cfg, sizes):
         # Lowe's octave -1: detect on the 2x linearly-upsampled image
         # (doubles the smallest resolvable scale; keypoint coordinates and
         # scales are mapped back to input pixels below)

@@ -305,21 +305,21 @@ def solve_gains(
     ok = np.minimum(Nij[iu, ju], Nij[ju, iu]) >= min_overlap
     if not ok.any():
         return gains
+    ii, jj = iu[ok], ju[ok]
+    Kij = 0.5 * (Nij[ii, jj] + Nij[jj, ii])  # (P,)
+    Ibar_ij = sumC[ii, jj] / Nij[ii, jj, None]  # (P, 3) mean of i over overlap
+    Ibar_ji = sumC[jj, ii] / Nij[jj, ii, None]
+    wN = Kij / sN2
+    wG = Kij / sg2
     A = np.zeros((N, N, 3))
     b = np.zeros((N,))
-    for i, j in zip(iu[ok], ju[ok]):
-        Kij = 0.5 * (Nij[i, j] + Nij[j, i])
-        Ibar_ij = sumC[i, j] / Nij[i, j]  # mean of image i over overlap(i,j)
-        Ibar_ji = sumC[j, i] / Nij[j, i]
-        wN = Kij / sN2
-        wG = Kij / sg2
-        for c in range(3):
-            A[i, i, c] += wN * Ibar_ij[c] ** 2 + wG
-            A[j, j, c] += wN * Ibar_ji[c] ** 2 + wG
-            A[i, j, c] += -wN * Ibar_ij[c] * Ibar_ji[c]
-            A[j, i, c] += -wN * Ibar_ij[c] * Ibar_ji[c]
-        b[i] += wG
-        b[j] += wG
+    np.add.at(A, (ii, ii), wN[:, None] * Ibar_ij**2 + wG[:, None])
+    np.add.at(A, (jj, jj), wN[:, None] * Ibar_ji**2 + wG[:, None])
+    cross = -wN[:, None] * Ibar_ij * Ibar_ji
+    np.add.at(A, (ii, jj), cross)
+    np.add.at(A, (jj, ii), cross)
+    np.add.at(b, ii, wG)
+    np.add.at(b, jj, wG)
     for c in range(3):
         x = np.linalg.solve(A[:, :, c] + lambda_diag * np.eye(N), b)
         gains[:, c] = np.clip(x, cfg.clamp[0], cfg.clamp[1])

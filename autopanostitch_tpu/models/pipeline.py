@@ -242,11 +242,19 @@ class StitchResult:
     features: SiftFeatures
 
 
+def _stage(timer, name: str):
+    """timer.stage(name) when a StageTimer is passed, else a no-op context."""
+    import contextlib
+
+    return timer.stage(name) if timer is not None else contextlib.nullcontext()
+
+
 def stitch(
     image_set: ImageSet,
     cfg: StitchConfig = StitchConfig(),
     seed: int = 0,
     cache_dir: Optional[str] = None,
+    timer=None,
 ) -> StitchResult:
     """Stitch an unordered image set into one or more panoramas.
 
@@ -292,7 +300,10 @@ def stitch(
             cache.save(key_feat, "features",
                        **{f: np.asarray(getattr(feats, f)) for f in feats._fields})
     else:
-        feats, images = _extract(image_set, cfg)
+        with _stage(timer, "features"):
+            feats, images = _extract(image_set, cfg)
+            if timer is not None:
+                jax.block_until_ready(feats.desc)
     feathers = samp_ops.feather_stack(
         jnp.asarray(image_set.sizes, np.int32), images.shape[1], images.shape[2]
     )
@@ -303,12 +314,14 @@ def stitch(
         if cg is not None:
             graph = MatchGraph(**{k: cg[k] for k in MatchGraph.__dataclass_fields__})
     if graph is None:
-        pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
-        if len(pairs):
-            pairs, pair_idx, pair_mask = select_candidate_pairs(
-                pairs, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
-            )
-        graph = verify_matches(feats, pairs, pair_idx, pair_mask, counts, cfg, key)
+        with _stage(timer, "matching"):
+            pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
+            if len(pairs):
+                pairs, pair_idx, pair_mask = select_candidate_pairs(
+                    pairs, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
+                )
+        with _stage(timer, "ransac"):
+            graph = verify_matches(feats, pairs, pair_idx, pair_mask, counts, cfg, key)
         if cache is not None:
             cache.save(key_graph, "graph",
                        **{k: np.asarray(getattr(graph, k))
@@ -336,17 +349,19 @@ def stitch(
                         comp_set, comp_graph, comp_feats,
                         np.arange(len(members)), cfg,
                         images_dev=comp_images, feathers_dev=comp_feathers,
+                        timer=timer,
                     )
                     result["members"] = members
             if result is None:
                 comp_graph = second_pass_matching(feats, members, graph, cfg, key)
                 result = stitch_component(image_set, comp_graph, feats, members, cfg,
-                                          images_dev=images, feathers_dev=feathers)
+                                          images_dev=images, feathers_dev=feathers,
+                                          timer=timer)
         else:
             result = stitch_component(image_set, graph, feats, members, cfg,
                                       images_dev=images, feathers_dev=feathers,
                                       cache=cache, cache_key=key_ba,
-                                      cache_label=int(label))
+                                      cache_label=int(label), timer=timer)
         panoramas.append(result)
 
     return StitchResult(panoramas=panoramas, graph=graph, components=comps, features=feats)
@@ -479,6 +494,8 @@ def stitch_component(
     cache=None,
     cache_key=None,
     cache_label=None,
+    timer=None,
+    mesh=None,
 ) -> Dict:
     """Bundle-adjust, straighten, gain-compensate and render one panorama
     component (the per-component body of `recognizePanoramas` +
@@ -486,7 +503,13 @@ def stitch_component(
 
     When a StageCache is provided, the BA stage result (cameras, planar
     classification) is cached per component so a re-run resumes directly at
-    the render stage."""
+    the render stage.
+
+    When a `jax.sharding.Mesh` is provided, the gain statistics and the
+    tile render — the two O(canvas)/O(grid) stages — run mesh-sharded
+    (`parallel/sharded.sharded_gain_stats_imagespace` /
+    `sharded_render_tiles`); BA stays replicated (O(N) cameras). The
+    planar compositing path is single-chip regardless."""
     acc = graph.accepted
     ba = None
     if cache is not None:
@@ -506,19 +529,20 @@ def stitch_component(
                 ),
             }
     if ba is None:
-        ba = bundle_stage.run_bundle_adjustment(
-            members,
-            graph.pairs[acc],
-            graph.pair_idx[acc],
-            graph.pair_mask[acc],
-            graph.inliers[acc],
-            graph.H[acc],
-            np.asarray(feats.xy),
-            graph.counts,
-            image_set.sizes,
-            cfg.bundle,
-            force_planar=cfg.straighten.force_planar_scan,
-        )
+        with _stage(timer, "bundle_adjustment"):
+            ba = bundle_stage.run_bundle_adjustment(
+                members,
+                graph.pairs[acc],
+                graph.pair_idx[acc],
+                graph.pair_mask[acc],
+                graph.inliers[acc],
+                graph.H[acc],
+                np.asarray(feats.xy),
+                graph.counts,
+                image_set.sizes,
+                cfg.bundle,
+                force_planar=cfg.straighten.force_planar_scan,
+            )
         if cache is not None:
             cams = ba["cameras"]
             cache.save(
@@ -573,8 +597,20 @@ def stitch_component(
         w = np.zeros((P, M), np.float32)
         for k, p in enumerate(keep):
             ok_m = graph.pair_mask[p] & graph.inliers[p]
-            idxs = np.nonzero(ok_m)[0][:M]
+            idxs = np.nonzero(ok_m)[0]
             gi, gj = int(graph.pairs[p, 0]), int(graph.pairs[p, 1])
+            if len(idxs) > M:
+                # same stratified per-pair subsampling as the R,K,f path
+                # (`bundleAdjustmentH.m:1020-1093` shares subsampleMatches),
+                # so over-cap planar pairs keep spatially spread matches
+                rng = np.random.default_rng(1000003 * gi + gj)
+                pick = bundle_stage.stratified_subsample(
+                    xy[gi, graph.pair_idx[p, idxs, 0]], sizes[gi], M,
+                    cfg.bundle.subsample_mode, rng,
+                    grid_bins=cfg.bundle.subsample_grid_bins,
+                    polar_bins=cfg.bundle.subsample_polar_bins,
+                )
+                idxs = idxs[pick]
             u_i[k, : len(idxs)] = xy[gi, graph.pair_idx[p, idxs, 0]]
             u_j[k, : len(idxs)] = xy[gj, graph.pair_idx[p, idxs, 1]]
             w[k, : len(idxs)] = 1.0
@@ -623,35 +659,60 @@ def stitch_component(
 
     # per-image gains are projection-independent: the reference solves
     # them ONCE before rendering (`main.m` gain stage)
-    gains = gain_stage.compute_gains_rotational(
-        images,
-        feathers,
-        jnp.asarray(R.astype(np.float32)),
-        jnp.asarray(K.astype(np.float32)),
-        sizes,
-        cfg.gain,
-    )
+    with _stage(timer, "gain"):
+        if mesh is not None and cfg.gain.enabled:
+            from autopanostitch_tpu.parallel import sharded as _sharded
+
+            Nij, sumC = _sharded.sharded_gain_stats_imagespace(
+                images, feathers, sizes, R, K, mesh,
+                stride=int(cfg.gain.grid_stride),
+            )
+            gains = gain_stage.solve_gains(
+                np.asarray(Nij), np.asarray(sumC), cfg.gain
+            )
+        else:
+            gains = gain_stage.compute_gains_rotational(
+                images,
+                feathers,
+                jnp.asarray(R.astype(np.float32)),
+                jnp.asarray(K.astype(np.float32)),
+                sizes,
+                cfg.gain,
+            )
     projections: Dict[str, np.ndarray] = {}
     for mode in cfg.render.projections:
         canvas = render_stage.compute_canvas(R, K, sizes, mode, cfg.render)
         blend_mode = cfg.blend.mode
         if blend_mode == "none":
             blend_mode = f"none-{cfg.blend.compose_none_policy}"
-        pano, cover = render_stage.render_rotational(
-            images,
-            feathers,
-            R,
-            K,
-            canvas,
-            gains=gains,
-            blend_mode=blend_mode,
-            bands=cfg.blend.bands,
-            tile=cfg.render.tile,
-            angle_power=cfg.render.angle_power,
-            sizes=sizes,
-            interp=cfg.render.interpolation,
-            max_contributors=cfg.render.max_contributors,
-        )
+        with _stage(timer, f"render:{mode}"):
+            if mesh is not None:
+                from autopanostitch_tpu.parallel import sharded as _sharded
+
+                pano, cover = _sharded.sharded_render_tiles(
+                    images, feathers, R, K, canvas, mesh,
+                    gains=gains, blend_mode=blend_mode,
+                    bands=cfg.blend.bands, tile=cfg.render.tile,
+                    angle_power=cfg.render.angle_power, sizes=sizes,
+                    max_contributors=cfg.render.max_contributors,
+                    interp=cfg.render.interpolation,
+                )
+            else:
+                pano, cover = render_stage.render_rotational(
+                    images,
+                    feathers,
+                    R,
+                    K,
+                    canvas,
+                    gains=gains,
+                    blend_mode=blend_mode,
+                    bands=cfg.blend.bands,
+                    tile=cfg.render.tile,
+                    angle_power=cfg.render.angle_power,
+                    sizes=sizes,
+                    interp=cfg.render.interpolation,
+                    max_contributors=cfg.render.max_contributors,
+                )
         projections[mode] = pano
         result.setdefault("canvas", {})[mode] = canvas
         result.setdefault("gains", {})[mode] = gains

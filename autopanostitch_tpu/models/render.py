@@ -211,6 +211,7 @@ def compute_canvas(
         "Wc": Wc,
         "R_ref": R_ref.astype(np.float32),
         "ref_idx": int(ref_idx),
+        "uv_abs_cap": float(cfg.uv_abs_cap),
     }
 
 
@@ -437,7 +438,9 @@ def tile_contributors(
             jnp.asarray(sizes, np.int32),
             mode,
             jnp.asarray(canvas["R_ref"]),
-            8.0,
+            # same cap the canvas was computed with, so contributor bounds
+            # stay consistent with canvas bounds under a configured cap
+            float(canvas.get("uv_abs_cap", 8.0)),
         )
     )  # (N, 4) surface coords
     # to canvas pixels

@@ -76,18 +76,21 @@ def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatu
     Ls = jnp.stack([gaussian_blur(img, s) for s in sigmas])
     dx_s = 0.5 * (jnp.roll(Ls, -1, 2) - jnp.roll(Ls, 1, 2))
     dy_s = 0.5 * (jnp.roll(Ls, -1, 1) - jnp.roll(Ls, 1, 1))
+    # magnitude/angle hoisted per scale (see sift._orientation_hist_dense)
+    mag_s = jnp.sqrt(dx_s * dx_s + dy_s * dy_s)
+    ang_s = jnp.arctan2(dy_s, dx_s)
 
     Wwin = min(80, (min(H, W) // 8) * 8)
 
     def per_kp(xi, yi, lev, srel):
-        wdx, cx_, cy_ = sift_ops._slice_window(dx_s, lev, xi, yi, Wwin)
-        wdy, _, _ = sift_ops._slice_window(dy_s, lev, xi, yi, Wwin)
+        wmag, cx_, cy_ = sift_ops._slice_window(mag_s, lev, xi, yi, Wwin)
+        wang, _, _ = sift_ops._slice_window(ang_s, lev, xi, yi, Wwin)
         lx = xi - cx_.astype(jnp.float32)
         ly = yi - cy_.astype(jnp.float32)
-        hist = sift_ops._orientation_hist_dense(wdx, wdy, lx, ly, srel)
+        hist = sift_ops._orientation_hist_dense(wmag, wang, lx, ly, srel)
         thetas, th_ok = sift_ops._dominant_orientations(hist)
         desc = sift_ops._descriptor_dense(
-            wdx, wdy, lx, ly, srel, thetas[0],
+            wmag, wang, lx, ly, srel, thetas[0],
             cfg.descriptor_width, cfg.descriptor_bins,
         )
         return thetas[0], th_ok[0], desc

@@ -263,13 +263,28 @@ def fit_rigid(src: Array, dst: Array, w: Array) -> Array:
     return H
 
 
+def _weighted_median(vals: Array, w: Array) -> Array:
+    """Weighted median: smallest v with cumulative weight >= half the total.
+
+    Reduces to the lower median for uniform weights; zero-weight entries
+    (RANSAC outliers) are ignored. jit-safe (sort + searchsorted)."""
+    order = jnp.argsort(vals)
+    v = vals[order]
+    c = jnp.cumsum(w[order])
+    idx = jnp.searchsorted(c, 0.5 * c[-1])
+    return v[jnp.clip(idx, 0, vals.shape[0] - 1)]
+
+
 def fit_translation(src: Array, dst: Array, w: Array) -> Array:
-    """Weighted translation fit (reference uses median, `:410-439`; we use the
-    weighted mean which is equivalent for inlier-only refits)."""
-    wsum = jnp.maximum(jnp.sum(w), _EPS)
-    t = jnp.sum((dst - src) * w[:, None], axis=0) / wsum
+    """Weighted-median translation fit (reference
+    `estimateTransformationRANSAC.m:410-439` uses the per-axis median of the
+    inlier displacements; the weighted median reproduces that for 0/1 inlier
+    masks and stays outlier-robust under IRLS weights)."""
+    d = dst - src
+    tx = _weighted_median(d[:, 0], w)
+    ty = _weighted_median(d[:, 1], w)
     H = jnp.eye(3, dtype=src.dtype)
-    return H.at[:2, 2].set(t)
+    return H.at[:2, 2].set(jnp.stack([tx, ty]))
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,34 @@ def _sample_minimal_sets(key: Array, mask: Array, batch: int, min_pts: int) -> A
     return idx
 
 
+def _minimal_set_degenerate(pts: Array, tol: float = 1.0) -> Array:
+    """(B,) bool: minimal sets whose geometry cannot constrain the model
+    (reference `estimateTransformationRANSAC.m:537-574` rejects samples by
+    SV-ratio/collinearity before solving; here the check is vectorized over
+    the hypothesis batch).
+
+    p==2: the two points (nearly) coincide. p>=3: some triple is (nearly)
+    collinear — any point within `tol` px of the line through two others.
+    Coincident points degenerate every triple they join, so they are caught
+    by the same test."""
+    p = pts.shape[1]
+    if p <= 1:
+        return jnp.zeros(pts.shape[0], bool)
+    if p == 2:
+        return jnp.linalg.norm(pts[:, 0] - pts[:, 1], axis=-1) < tol
+    from itertools import combinations
+
+    degen = jnp.zeros(pts.shape[0], bool)
+    for a, b, c in combinations(range(p), 3):
+        v1 = pts[:, b] - pts[:, a]
+        v2 = pts[:, c] - pts[:, a]
+        area = jnp.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0])
+        base = jnp.linalg.norm(v1, axis=-1)
+        # area = |v1| * dist(c, line ab); dist < tol => degenerate
+        degen |= area < tol * jnp.maximum(base, 1e-6)
+    return degen
+
+
 def _score(err: Array, mask: Array, threshold: float, method: str):
     """Per-hypothesis score from per-match errors (B, M).
 
@@ -169,7 +197,8 @@ def ransac_fit(
         err = jnp.where(jnp.isfinite(err), err, jnp.float32(1e9))
         cost, inl, n_inl = _score(err, mask, threshold, method)
         valid_model = jax.vmap(geo.homography_is_valid)(Hs)
-        cost = jnp.where(valid_model, cost, jnp.float32(1e30))
+        degen = _minimal_set_degenerate(src_min) | _minimal_set_degenerate(dst_min)
+        cost = jnp.where(valid_model & ~degen, cost, jnp.float32(1e30))
         best = jnp.argmin(cost)
         return cost[best], Hs[best], inl[best], n_inl[best]
 

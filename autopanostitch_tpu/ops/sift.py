@@ -326,23 +326,29 @@ def _soft_bins(vals: Array, nb: int, circular: bool):
     return w0 + w1
 
 
-def _orientation_hist_dense(wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array):
+def _orientation_hist_dense(wmag: Array, wang: Array, lx: Array, ly: Array, sigma_rel: Array):
     """36-bin orientation histogram over a dense (rect) window.
 
     Every window pixel contributes mag * gaussian(r) to its angle bin —
     Lowe's formulation exactly, vectorized over the window (no gathers).
     The keypoint sits at (lx, ly) anywhere inside the window; pixels beyond
     the 3*1.5*sigma radius are masked, so off-center windows are exact.
+
+    Takes precomputed magnitude/angle windows: sqrt/arctan2 are hoisted to
+    one pass over each pyramid level (`_extract_group`) instead of being
+    recomputed per overlapping keypoint window — the transcendentals were
+    the dominant cost of the window phases (measured on v5e: window phases
+    1.0 s of the 1.43 s extract at 100 views before hoisting).
     """
-    Hw, Ww = wdx.shape
+    Hw, Ww = wmag.shape
     wy, wx = jnp.mgrid[0:Hw, 0:Ww]
     rx = wx.astype(jnp.float32) - lx
     ry = wy.astype(jnp.float32) - ly
     r2 = rx * rx + ry * ry
     sw = _ORI_SIGMA_FACTOR * sigma_rel
     wgt = jnp.exp(-r2 / (2 * sw * sw)) * (r2 <= (_ORI_RADIUS_FACTOR * sw) ** 2)
-    mag = jnp.sqrt(wdx * wdx + wdy * wdy)
-    ang = jnp.arctan2(wdy, wdx)
+    mag = wmag
+    ang = wang
     contrib = (mag * wgt).reshape(-1)
     binf = ((ang / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS).reshape(-1)
     hist = contrib @ _soft_bins(binf, _ORI_BINS, circular=True)
@@ -380,7 +386,7 @@ def _dominant_orientations(hist: Array):
 
 
 def _descriptor_dense(
-    wdx: Array, wdy: Array, lx: Array, ly: Array, sigma_rel: Array, theta: Array,
+    wmag: Array, wang: Array, lx: Array, ly: Array, sigma_rel: Array, theta: Array,
     d: int = 4, nbins: int = 8,
 ):
     """(d*d*nbins)-d descriptor over a dense window (128-d at the Lowe
@@ -390,7 +396,7 @@ def _descriptor_dense(
     desc[r,c,o] = sum_p w_p R[p,r] C[p,c] O[p,o]. The keypoint sits at
     (lx, ly) anywhere inside the (rect) window; pixels outside the rotated
     d x d cell grid soft-bin to zero, so off-center windows are exact."""
-    Hw, Ww = wdx.shape
+    Hw, Ww = wmag.shape
     cell = _DESC_SCALE_FACTOR * sigma_rel
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
@@ -402,8 +408,8 @@ def _descriptor_dense(
     v = (-sin_t * rx + cos_t * ry) / cell
     rbin = (v + d / 2.0 - 0.5).reshape(-1)
     cbin = (u + d / 2.0 - 0.5).reshape(-1)
-    mag = jnp.sqrt(wdx * wdx + wdy * wdy)
-    ang = jnp.arctan2(wdy, wdx) - theta
+    mag = wmag
+    ang = wang - theta
     obin = ((ang / (2 * jnp.pi) * nbins) % nbins).reshape(-1)
     wsig = 0.5 * d
     wgt = jnp.exp(-(u * u + v * v) / (2 * wsig * wsig))
@@ -458,7 +464,7 @@ def _use_pallas_gather() -> bool:
 
 
 def _map_per_kp(fn, dxy, lev, yc, xc, args, rows, cols, use_pallas, chunk):
-    """Apply fn(wdx, wdy, *args_k) to a gradient window per keypoint.
+    """Apply fn(wmag, wang, *args_k) to a magnitude/angle window per keypoint.
 
     dxy: (G, 2, S3, Hp, Wp) per-image gradient stacks (pallas path:
     Hp % 8 == 0, Wp % 128 == 0). lev/yc/xc: (G, Kc) int32 window level and
@@ -555,7 +561,12 @@ def _extract_group(imgs: Array, cfg: DetectorConfig) -> SiftFeatures:
 
         gauss = octv["gauss"]  # (G, S3, Ho, Wo)
         dx, dy = jax.vmap(_grad_maps)(gauss)
-        dxy = jnp.stack([dx, dy], axis=1)  # (G, 2, S3, Ho, Wo)
+        # magnitude/angle hoisted to one pass per level: keypoint windows
+        # overlap heavily, so per-window sqrt/arctan2 redid the same
+        # transcendentals many times over
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ang = jnp.arctan2(dy, dx)
+        dxy = jnp.stack([mag, ang], axis=1)  # (G, 2, S3, Ho, Wo)
         sigma_rel = cfg.sigma * jnp.power(k, layer)
         level = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, gauss.shape[1] - 1)
 
@@ -600,8 +611,8 @@ def _extract_group(imgs: Array, cfg: DetectorConfig) -> SiftFeatures:
         lx = x_sub - ox.astype(jnp.float32)
         ly = y_sub - oy.astype(jnp.float32)
 
-        def fn_ori(wdx, wdy, lxk, lyk, srel):
-            hist = _orientation_hist_dense(wdx, wdy, lxk, lyk, srel)
+        def fn_ori(wmag, wang, lxk, lyk, srel):
+            hist = _orientation_hist_dense(wmag, wang, lxk, lyk, srel)
             return _dominant_orientations(hist)
 
         thetas, th_ok = _map_per_kp(
@@ -626,9 +637,9 @@ def _extract_group(imgs: Array, cfg: DetectorConfig) -> SiftFeatures:
         lx2 = xs_s - dxc.astype(jnp.float32)
         ly2 = ys_s - dyc.astype(jnp.float32)
 
-        def fn_desc(wdx, wdy, lxk, lyk, srel, theta):
+        def fn_desc(wmag, wang, lxk, lyk, srel, theta):
             return _descriptor_dense(
-                wdx, wdy, lxk, lyk, srel, theta,
+                wmag, wang, lxk, lyk, srel, theta,
                 cfg.descriptor_width, cfg.descriptor_bins,
             )
 

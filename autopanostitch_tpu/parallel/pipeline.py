@@ -8,9 +8,9 @@ O(pixels)/O(features)/O(pairs) stages sharded across the mesh
   global kNN      -> query axis sharded (pool replicated, no collectives)
   RANSAC verify   -> pair axis sharded
   BA / discovery  -> replicated (tiny: O(N) cameras), identical on chips
-  render          -> single-chip tile kernel by default; canvas row-band
-                     sharding is available via `sharded.sharded_render_bands`
-                     for canvases that dwarf one chip's HBM
+  gain stats      -> grid-point chunks sharded, (N, N) stats psum over ICI
+  render          -> canvas tiles sharded across chips (same fitted tile
+                     grid + contributor culling + interp as single-chip)
 
 This is the reference's parpool/parfor concurrency (`main.m:39-47`,
 SURVEY.md §2.2) re-expressed as SPMD over ICI: identical results to the
@@ -68,7 +68,7 @@ def stitch_multichip(
     gray = sift.rgb_to_gray(images)
     sizes_det = np.asarray(image_set.sizes)
     scale_back = 1.0
-    if cfg.detector.upsample_input:  # Lowe octave -1, like extract_features
+    if features_stage.should_upsample(cfg.detector, sizes_det):  # Lowe octave -1
         N_, H_, W_ = gray.shape
         gray = jax.image.resize(gray, (N_, 2 * H_, 2 * W_), "linear")
         sizes_det = sizes_det * 2
@@ -158,6 +158,7 @@ def stitch_multichip(
                         comp_set, comp_graph, comp_feats,
                         np.arange(len(members)), cfg,
                         images_dev=comp_images, feathers_dev=comp_feathers,
+                        mesh=mesh,
                     )
                     result["members"] = members
             if result is None:
@@ -165,11 +166,11 @@ def stitch_multichip(
                                                      cfg, key)
                 result = pl.stitch_component(image_set, comp_graph, feats,
                                              members, cfg, images_dev=images,
-                                             feathers_dev=feathers)
+                                             feathers_dev=feathers, mesh=mesh)
         else:
             result = pl.stitch_component(image_set, graph, feats, members, cfg,
                                          images_dev=images,
-                                         feathers_dev=feathers)
+                                         feathers_dev=feathers, mesh=mesh)
         panoramas.append(result)
     return pl.StitchResult(
         panoramas=panoramas, graph=graph, components=comps, features=feats

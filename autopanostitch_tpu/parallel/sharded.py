@@ -211,6 +211,215 @@ def sharded_render_bands(
     return pano, cover
 
 
+def sharded_render_tiles(
+    images, feathers, R, K, canvas: dict, mesh: Mesh,
+    gains=None, blend_mode: str = "multiband", bands: int = 3,
+    tile=(512, 512), angle_power: float = 1.0, sizes=None,
+    max_contributors=None, interp: str = "bicubic", axis: str = "data",
+):
+    """Rotational render with the TILE axis sharded across chips.
+
+    Same host control plane as the single-chip `render_rotational` (fitted
+    tile grid + per-tile contributor culling, `renderPanorama.m:342-406`
+    tiling), but the per-tile kernel map is a shard_map over the tile axis:
+    chip d renders tiles d, d+n, d+2n, ... with the full interp/blend
+    options of the single-chip kernel. Inputs (images, cameras, gains) are
+    replicated — they are O(N x view) while the canvas is what scales; the
+    only cross-chip data motion is the final gather of rendered tiles.
+
+    Full-width canvas bands (the previous `sharded_render_bands`) defeat
+    contributor culling — every image intersects a full-width band, so the
+    cost reverts to O(canvas x N). 2-D tiles keep the single-chip cost
+    model O(canvas x C).
+
+    Returns (panorama (Hc, Wc, 3) uint8, coverage (Hc, Wc) bool) on host —
+    bit-identical to `render_rotational` (same kernel, same tile grid; only
+    the tile -> chip assignment differs, which touches no arithmetic).
+    """
+    import numpy as np
+
+    from autopanostitch_tpu.models.render import (
+        _concat_feather, _render_tile_impl, tile_contributors,
+    )
+
+    Hc, Wc = canvas["Hc"], canvas["Wc"]
+
+    def fit_tile(size, tmax):  # same fitting rule as render_rotational
+        nt = max(1, (size + tmax - 1) // tmax)
+        return ((-(-size // nt) + 31) // 32) * 32
+
+    th = fit_tile(Hc, tile[0])
+    tw = fit_tile(Wc, tile[1])
+    N = images.shape[0]
+    if gains is None:
+        gains = np.ones((N, 3), np.float32)
+    if sizes is None:
+        sizes = np.tile(np.array(images.shape[1:3], np.int32), (N, 1))
+    C_arg = None if max_contributors is None else min(max_contributors, N)
+    sel, sel_ok, origins = tile_contributors(
+        canvas, np.asarray(R, np.float32), np.asarray(K, np.float32),
+        np.asarray(sizes), (th, tw), C_arg,
+    )
+    T = sel.shape[0]
+    n = mesh.devices.size
+    padT = (-T) % n
+    if padT:  # padded tiles: no contributors, origin past the canvas
+        sel = np.concatenate([sel, np.zeros((padT, sel.shape[1]), sel.dtype)])
+        sel_ok = np.concatenate(
+            [sel_ok, np.zeros((padT, sel_ok.shape[1]), bool)]
+        )
+        origins = np.concatenate(
+            [origins, np.full((padT, 2), float(max(Hc, Wc) + th + tw))]
+        )
+
+    imgs4 = _concat_feather(jnp.asarray(images), jnp.asarray(feathers))
+    R_d = jnp.asarray(np.asarray(R, np.float32).reshape(-1, 3, 3))
+    K_d = jnp.asarray(np.asarray(K, np.float32).reshape(-1, 3, 3))
+    g_d = jnp.asarray(np.asarray(gains, np.float32))
+    R_ref = jnp.asarray(canvas["R_ref"])
+    f_pan, x0, y0 = canvas["f_pan"], canvas["x0"], canvas["y0"]
+    mode = canvas["mode"]
+
+    # strided tile -> chip assignment (chip d gets tiles d::n): adjacent
+    # tiles land on different chips so a hot canvas region load-balances
+    order = np.arange(T + padT).reshape(-1, n).T.reshape(-1)
+    inv = np.argsort(order)
+
+    def local(imgs4, R_, K_, g_, sel_l, ok_l, org_l):
+        def one(args):
+            s, ok, org = args
+            return _render_tile_impl(
+                imgs4, R_, K_, g_, s, ok, org, f_pan, x0, y0, R_ref,
+                mode, th, tw, blend_mode, bands, angle_power, interp,
+            )
+
+        return jax.lax.map(one, (sel_l, ok_l, org_l))
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    tiles, covs = jax.jit(fn)(
+        imgs4, R_d, K_d, g_d,
+        jnp.asarray(sel[order]), jnp.asarray(sel_ok[order]),
+        jnp.asarray(origins[order], jnp.float32),
+    )
+    tiles = np.asarray(tiles)[inv][:T]
+    covs = np.asarray(covs)[inv][:T]
+    tr = (Hc + th - 1) // th
+    tc = (Wc + tw - 1) // tw
+    pano = (
+        tiles.reshape(tr, tc, th, tw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(tr * th, tc * tw, 3)[:Hc, :Wc]
+    )
+    cover = (
+        covs.reshape(tr, tc, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(tr * th, tc * tw)[:Hc, :Wc]
+    )
+    return pano, cover
+
+
+def sharded_gain_stats_imagespace(
+    images, feathers, sizes, R, K, mesh: Mesh,
+    stride: int = 5, chunk: int = 512, axis: str = "data",
+):
+    """Image-space gain statistics with the grid-point chunk axis sharded.
+
+    Identical math to `gain.overlap_statistics_imagespace` (the single-chip
+    gather-free formulation): every chip evaluates the visibility geometry
+    for a slice of the strided grid points and the (N, N) / (N, N, 3)
+    partial statistics psum over ICI — the SPMD form of the reference's
+    parfor reduction variables (`gainCompensationRKf.m:138-147`).
+
+    Returns (Nij (N, N), sumC (N, N, 3)) replicated, for `solve_gains`.
+    """
+    import numpy as np
+
+    from autopanostitch_tpu.models import gain as gain_stage
+    from autopanostitch_tpu.ops import geometry as geo
+
+    images = jnp.asarray(images)
+    feathers = jnp.asarray(feathers)
+    sizes_d = jnp.asarray(np.asarray(sizes), jnp.int32)
+    R = jnp.asarray(np.asarray(R, np.float32))
+    K = jnp.asarray(np.asarray(K, np.float32))
+    N, H, W, _ = images.shape
+    n = mesh.devices.size
+
+    # host-side precompute mirrors overlap_statistics_imagespace exactly
+    col_all = images[:, ::stride, ::stride].reshape(N, -1, 3) * 255.0
+    wf_own = feathers[:, ::stride, ::stride].reshape(N, -1)
+    ys, xs = jnp.mgrid[0:H:stride, 0:W:stride]
+    xs = xs.astype(jnp.float32).reshape(-1)
+    ys = ys.astype(jnp.float32).reshape(-1)
+    Pn = xs.shape[0]
+    margin = 1.0
+    h_v = sizes_d[:, 0].astype(jnp.float32)[:, None]
+    w_v = sizes_d[:, 1].astype(jnp.float32)[:, None]
+    own = (
+        (xs[None, :] >= margin) & (xs[None, :] <= w_v - 1 - margin)
+        & (ys[None, :] >= margin) & (ys[None, :] <= h_v - 1 - margin)
+        & (wf_own > 1e-4)
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    hi = jax.lax.Precision.HIGHEST
+    Rt_Kinv = jnp.matmul(jnp.swapaxes(R, 1, 2), geo.invert_K(K), precision=hi)
+    rays = jnp.einsum("iab,pb->ipa", Rt_Kinv, pix, precision=hi)
+
+    # chunk the grid axis; pad chunk count to a multiple of the mesh size
+    nchunks = ((Pn + chunk - 1) // chunk + n - 1) // n * n
+    Ppad = nchunks * chunk
+
+    def padP(x, axis_=1):
+        pads = [(0, 0)] * x.ndim
+        pads[axis_] = (0, Ppad - Pn)
+        return jnp.pad(x, pads)
+
+    rays_p = padP(rays).reshape(N, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+    col_p = padP(col_all).reshape(N, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+    own_p = padP(own).reshape(N, nchunks, chunk).transpose(1, 0, 2)
+    KR = jnp.matmul(K, R, precision=hi)
+
+    def local(rays_l, col_l, own_l):
+        def step(carry, inp):
+            Nij, sumC = carry
+            r_c, col_c, own_c = inp
+            prj = jnp.einsum("jab,icb->ijca", KR, r_c)
+            z = prj[..., 2]
+            zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+            u = prj[..., 0] / zi
+            v = prj[..., 1] / zi
+            vis = (
+                (z > 1e-6)
+                & (u >= margin) & (u <= w_v[None, :] - 1 - margin)
+                & (v >= margin) & (v <= h_v[None, :] - 1 - margin)
+            )
+            V = (own_c[:, None, :] & vis).astype(jnp.float32)
+            Nij = Nij + jnp.sum(V, axis=-1)
+            sumC = sumC + jnp.einsum("ijp,ipc->ijc", V, col_c, precision=hi)
+            return (Nij, sumC), None
+
+        # scan carry must be marked device-varying inside shard_map (the
+        # body mixes it with sharded operands)
+        init = jax.lax.pcast(
+            (jnp.zeros((N, N)), jnp.zeros((N, N, 3))), (axis,), to="varying"
+        )
+        (Nij, sumC), _ = jax.lax.scan(step, init, (rays_l, col_l, own_l))
+        return jax.lax.psum(Nij, axis), jax.lax.psum(sumC, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)(rays_p, col_p, own_p)
+
+
 def psum_gain_stats(local_overlap, local_colorsum, mesh: Mesh, axis: str = "data"):
     """Reduce gain-compensation overlap statistics across chips.
 

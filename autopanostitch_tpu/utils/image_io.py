@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -132,20 +132,45 @@ def load_image_set(
     one compiled executable shape. keep_originals retains the pre-resize
     images for the per-component second matching pass.
     """
-    resize = _RESIZE_MODES[mode]
     originals = [load_image(p) for p in paths]
+    names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    return image_set_from_arrays(
+        originals, height_limit, width_limit, pad_multiple=pad_multiple,
+        mode=mode, names=names,
+        keep_originals=keep_originals, paths=list(paths),
+    )
+
+
+def image_set_from_arrays(
+    originals: Sequence[np.ndarray],
+    height_limit: int = 800,
+    width_limit: int = 800,
+    pad_multiple: int = 32,
+    mode: str = "fit",
+    names: Optional[Sequence[str]] = None,
+    keep_originals: bool = False,
+    paths: Optional[Sequence[str]] = None,
+) -> ImageSet:
+    """Build an ImageSet from in-memory images (HxWx3 float [0,1] or uint8);
+    same resize/pad semantics as :func:`load_image_set`."""
+    resize = _RESIZE_MODES[mode]
+    originals = [
+        im.astype(np.float32) / 255.0 if im.dtype == np.uint8 else im
+        for im in originals
+    ]
     imgs = [resize(im, height_limit, width_limit) for im in originals]
     sizes = np.array([im.shape[:2] for im in imgs], np.int32)
     H = int(np.ceil(sizes[:, 0].max() / pad_multiple) * pad_multiple)
     W = int(np.ceil(sizes[:, 1].max() / pad_multiple) * pad_multiple)
     stack = np.stack([_pad_to(im, H, W) for im in imgs])
-    names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    if names is None:
+        names = [f"img_{k:03d}" for k in range(len(imgs))]
     return ImageSet(
         images=stack,
         sizes=sizes,
-        names=names,
-        originals=originals if keep_originals else None,
-        paths=list(paths),
+        names=list(names),
+        originals=list(originals) if keep_originals else None,
+        paths=list(paths) if paths is not None else None,
     )
 
 

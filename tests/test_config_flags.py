@@ -121,7 +121,7 @@ class TestDetectorFlags:
         env = synthdata.texture(5, 160, 200)
         stack = env[None]
         sizes = np.array([[160, 200]], np.int32)
-        base = DetectorConfig(max_keypoints=1024, num_octaves=3)
+        base = DetectorConfig(max_keypoints=1024, num_octaves=3, upsample_input=False)
         up = DetectorConfig(max_keypoints=1024, num_octaves=3, upsample_input=True)
         f0 = features_stage.extract_features(jnp.asarray(stack), sizes, base)
         f1 = features_stage.extract_features(jnp.asarray(stack), sizes, up)

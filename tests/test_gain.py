@@ -70,3 +70,39 @@ class TestRotationalOverlap:
         Nij = np.asarray(Nij)
         assert Nij[0, 1] > 200
         np.testing.assert_allclose(np.asarray(sumC)[0, 1] / Nij[0, 1], 127.5, rtol=0.02)
+
+
+class TestSolveGainsVectorized:
+    def test_matches_loop_oracle(self):
+        # the vectorized accumulation must equal the original O(N^2) loop
+        rng = np.random.default_rng(11)
+        N = 7
+        Nij = rng.uniform(0, 400, (N, N))
+        np.fill_diagonal(Nij, 0.0)
+        sumC = rng.uniform(0, 200, (N, N, 3)) * Nij[..., None]
+        cfg = GainConfig()
+        got = gain.solve_gains(Nij, sumC, cfg)
+
+        # loop oracle (the pre-vectorization implementation)
+        sN2, sg2 = cfg.sigma_n**2, cfg.sigma_g**2
+        iu, ju = np.triu_indices(N, 1)
+        ok = np.minimum(Nij[iu, ju], Nij[ju, iu]) >= 50
+        A = np.zeros((N, N, 3))
+        b = np.zeros((N,))
+        for i, j in zip(iu[ok], ju[ok]):
+            Kij = 0.5 * (Nij[i, j] + Nij[j, i])
+            Ibar_ij = sumC[i, j] / Nij[i, j]
+            Ibar_ji = sumC[j, i] / Nij[j, i]
+            wN, wG = Kij / sN2, Kij / sg2
+            for c in range(3):
+                A[i, i, c] += wN * Ibar_ij[c] ** 2 + wG
+                A[j, j, c] += wN * Ibar_ji[c] ** 2 + wG
+                A[i, j, c] += -wN * Ibar_ij[c] * Ibar_ji[c]
+                A[j, i, c] += -wN * Ibar_ij[c] * Ibar_ji[c]
+            b[i] += wG
+            b[j] += wG
+        want = np.ones((N, 3), np.float32)
+        for c in range(3):
+            x = np.linalg.solve(A[:, :, c] + 1e-8 * np.eye(N), b)
+            want[:, c] = np.clip(x, cfg.clamp[0], cfg.clamp[1])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

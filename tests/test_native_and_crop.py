@@ -128,3 +128,30 @@ class TestTPUHamming:
         assert (perm[idx[:, 1]] == perm[idx[:, 1]]).all()
         for ia, ib in idx:
             assert (A[ia] == B[ib]).all()
+
+
+class TestMaskFromColorHoles:
+    def test_interior_holes_filled(self):
+        # panoramaCropper.m:85 imfill: a shadow pixel inside the panorama
+        # must not punch a hole that shrinks the inscribed rectangle
+        pano = np.full((20, 30, 3), 0.5, np.float32)
+        pano[:, :5] = 0.0   # uncovered canvas strip (border-connected)
+        pano[8:12, 15:18] = 0.0  # interior black shadow
+        m = crop.mask_from_color(pano, "black")
+        assert m[10, 16]           # hole filled
+        assert not m[:, :4].any()  # border canvas stays invalid
+
+    def test_fill_holes_disabled(self):
+        pano = np.full((10, 10, 3), 0.5, np.float32)
+        pano[5, 5] = 0.0
+        m = crop.mask_from_color(pano, "black", fill_holes=False)
+        assert not m[5, 5]
+
+    def test_white_canvas_holes(self):
+        pano = np.zeros((12, 12, 3), np.uint8)
+        pano[:] = 128
+        pano[0:2] = 255          # white canvas row (border)
+        pano[6, 6] = 255          # saturated interior highlight
+        m = crop.mask_from_color(pano, "white", white_range=250)
+        assert m[6, 6]
+        assert not m[0].any()

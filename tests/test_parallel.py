@@ -201,3 +201,74 @@ def test_stitch_multichip_multi_panorama_second_pass():
     bad = cfg.replace(detector=DetectorConfig(detector="ORB"))
     with pytest.raises(ValueError, match="SIFT"):
         mp.stitch_multichip(iset, bad, mesh=pmesh.make_mesh(8))
+
+
+def test_sharded_render_tiles_matches_single_device():
+    """Tile-axis sharding (the stitch_multichip render path) reproduces the
+    single-device fitted-tile render — same tile grid, same contributor
+    culling, bicubic interp, multiband blend."""
+    from autopanostitch_tpu.models import render as rstage
+    from autopanostitch_tpu.ops import geometry as geo
+    from autopanostitch_tpu.ops import sampling as samp
+
+    n_img = 5
+    imgs = np.stack(
+        [synthdata.texture(s, 96, 128) for s in range(n_img)]
+    ).astype(np.float32)
+    sizes = np.tile([96, 128], (n_img, 1))
+    feathers = np.asarray(samp.feather_stack(jnp.asarray(sizes, jnp.int32), 96, 128))
+    R = np.stack([
+        np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.35 * k - 0.7, 0.0], jnp.float32)))
+        for k in range(n_img)
+    ])
+    K = np.asarray(geo.build_K(jnp.full(n_img, 120.0), jnp.full(n_img, 63.5),
+                               jnp.full(n_img, 47.5)))
+    canvas = rstage.compute_canvas(R, K, sizes, "spherical")
+    gains = np.linspace(0.8, 1.2, n_img * 3).reshape(n_img, 3).astype(np.float32)
+
+    kw = dict(gains=gains, blend_mode="multiband", bands=3, tile=(64, 128),
+              sizes=sizes, interp="bicubic")
+    pano_ref, cov_ref = rstage.render_rotational(imgs, feathers, R, K, canvas, **kw)
+    m = pmesh.make_mesh()
+    pano_sh, cov_sh = sharded.sharded_render_tiles(
+        imgs, feathers, R, K, canvas, m, **kw
+    )
+    assert pano_sh.shape == pano_ref.shape
+    np.testing.assert_array_equal(cov_sh, cov_ref)
+    diff = np.abs(pano_sh.astype(int) - pano_ref.astype(int))
+    # separate executables (shard_map body vs lax.map body) may round the
+    # last uint8 bit differently
+    assert diff.max() <= 1
+
+
+def test_sharded_gain_stats_matches_single_device():
+    """Grid-chunk-sharded gain statistics psum to exactly the single-device
+    image-space statistics (same math, same chunking)."""
+    from autopanostitch_tpu.models import gain as gstage
+    from autopanostitch_tpu.ops import geometry as geo
+    from autopanostitch_tpu.ops import sampling as samp
+
+    n_img = 4
+    imgs = np.stack(
+        [synthdata.texture(10 + s, 96, 128) for s in range(n_img)]
+    ).astype(np.float32)
+    sizes = np.tile([96, 128], (n_img, 1))
+    feathers = np.asarray(samp.feather_stack(jnp.asarray(sizes, jnp.int32), 96, 128))
+    R = np.stack([
+        np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.3 * k - 0.45, 0.0], jnp.float32)))
+        for k in range(n_img)
+    ])
+    K = np.asarray(geo.build_K(jnp.full(n_img, 120.0), jnp.full(n_img, 63.5),
+                               jnp.full(n_img, 47.5)))
+    Nij_ref, sumC_ref = gstage.overlap_statistics_imagespace(
+        jnp.asarray(imgs), jnp.asarray(feathers), jnp.asarray(sizes, jnp.int32),
+        jnp.asarray(R, jnp.float32), jnp.asarray(K, jnp.float32), 5,
+    )
+    m = pmesh.make_mesh()
+    Nij_sh, sumC_sh = sharded.sharded_gain_stats_imagespace(
+        imgs, feathers, sizes, R, K, m, stride=5,
+    )
+    np.testing.assert_allclose(np.asarray(Nij_sh), np.asarray(Nij_ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sumC_sh), np.asarray(sumC_ref), rtol=1e-6, atol=1e-3
+    )

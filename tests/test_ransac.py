@@ -104,3 +104,47 @@ def test_verify_pairs_batched():
     # H_inv is a real inverse
     eye = np.array(jnp.einsum("pij,pjk->pik", out["H"], out["H_inv"]))
     np.testing.assert_allclose(eye[:5], np.tile(np.eye(3), (5, 1, 1)), atol=1e-2)
+
+
+def test_translation_median_refit_robust():
+    # weighted-median refit (estimateTransformationRANSAC.m:410-439): a few
+    # huge-residual points with small positive IRLS weight must not drag the
+    # translation the way a weighted mean would
+    src = jnp.array(np.random.default_rng(3).uniform(0, 100, (16, 2)), jnp.float32)
+    dst = src + jnp.array([5.0, -3.0])
+    dst = dst.at[0].add(jnp.array([500.0, 500.0]))  # gross outlier
+    w = jnp.ones(16).at[0].set(0.2)
+    H = geo.fit_translation(src, dst, w)
+    np.testing.assert_allclose(np.array(H[:2, 2]), [5.0, -3.0], atol=1e-4)
+
+
+def test_degenerate_minimal_sets_masked():
+    # collinear triples / coincident pairs flagged; spread sets pass
+    pts_ok = jnp.array([[[0.0, 0], [100, 0], [0, 100], [100, 100]]])
+    pts_col = jnp.array([[[0.0, 0], [50, 50], [100, 100], [30, 90]]])  # 3 collinear
+    assert not bool(rs._minimal_set_degenerate(pts_ok)[0])
+    assert bool(rs._minimal_set_degenerate(pts_col)[0])
+    two_same = jnp.array([[[10.0, 10], [10.0, 10.4]]])
+    two_apart = jnp.array([[[10.0, 10], [90.0, 10]]])
+    assert bool(rs._minimal_set_degenerate(two_same)[0])
+    assert not bool(rs._minimal_set_degenerate(two_apart)[0])
+
+
+def test_recovers_homography_with_collinear_contamination():
+    # 30% of the matches lie on one line with inconsistent mappings
+    # (estimateTransformationRANSAC.m:537-574 motivation): degeneracy
+    # rejection keeps the estimator on the true model
+    H_true, src, dst, mask = make_problem(7, n_inliers=60, n_outliers=10)
+    r = np.random.default_rng(8)
+    t = r.uniform(0, 1, 30)
+    line = np.stack([t * 400, t * 400 * 0.5 + 20], -1).astype(np.float32)
+    src_np, dst_np = np.array(src), np.array(dst)
+    src_np[70:100] = line
+    dst_np[70:100] = r.uniform(0, 400, (30, 2))
+    res = rs.ransac_fit(
+        jnp.array(src_np), jnp.array(dst_np), mask, jax.random.PRNGKey(2),
+        threshold=3.0,
+    )
+    assert bool(res.success)
+    err = geo.transfer_error(res.H, src[:60], dst[:60])
+    assert float(jnp.median(err)) < 2.0

