@@ -166,6 +166,18 @@ def warp_homography(
     denom = jnp.where(jnp.abs(denom) < 1e-10, 1e-10, denom)
     xs = (H_inv[0, 0] * xw + H_inv[0, 1] * yw + H_inv[0, 2]) / denom
     ys = (H_inv[1, 0] * xw + H_inv[1, 1] * yw + H_inv[1, 2]) / denom
+    if method == "bicubic2x":
+        # bicubic quality at 4 taps: dense 2x bicubic upsample, bilinear
+        # taps on the fine grid (see models/render._render_tile_impl)
+        H_, W_ = img.shape[0], img.shape[1]
+        fine = jax.image.resize(img, (2 * H_, 2 * W_) + img.shape[2:], "cubic")
+        col, _ = sample_bilinear(
+            fine,
+            jnp.clip(2.0 * xs + 0.5, 0.0, 2 * W_ - 1.0),
+            jnp.clip(2.0 * ys + 0.5, 0.0, 2 * H_ - 1.0),
+        )
+        valid = (xs >= 0.0) & (xs <= W_ - 1.0) & (ys >= 0.0) & (ys <= H_ - 1.0)
+        return col * valid[..., None], valid
     return _SAMPLERS[method](img, xs, ys)
 
 

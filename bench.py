@@ -124,11 +124,18 @@ def bench_real(pipeline, StitchConfig, ImageSet):
         cov = pano["coverage_by_mode"]["spherical"]
         out["church_coverage"] = round(float(np.asarray(cov).mean()), 3)
 
-    # CMU0 sheet: 38 real photos -> multi-panorama discovery
+    # CMU0 sheet: 38 real photos -> multi-panorama discovery. Single-pass
+    # (second_pass=False): the per-component second pass re-extracts at
+    # 7+ distinct shapes, each a fresh relay AOT compile — minutes of
+    # compile for no change in the discovery metrics reported here (the
+    # full second-pass path is covered by tests/test_real_images.py).
+    cfg0 = StitchConfig()
+    cfg0 = cfg0.replace(matching=dataclasses.replace(
+        cfg0.matching, second_pass=False))
     tiles = real_data.load_montage_tiles("CMU0")
     iset = real_data.image_set_from_arrays(tiles, 800, 800)
     t0 = time.time()
-    res = pipeline.stitch(iset, StitchConfig())
+    res = pipeline.stitch(iset, cfg0)
     out["cmu0_s"] = round(time.time() - t0, 2)
     out["cmu0_n_images"] = len(tiles)
     out["cmu0_n_panoramas"] = len(res.panoramas)
