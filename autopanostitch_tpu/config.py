@@ -52,6 +52,14 @@ class MatchingConfig:
 
     k: int = 4  # Brown-Lowe k=4 nearest neighbours (inputs.m:44)
     match_pairwise: bool = False  # inputs.m:46 matchFeaturesPairwise
+    # automatic escape hatch for the global matcher's repeated-structure
+    # failure mode: when panorama discovery fragments (more than one
+    # component), re-match every pair with the per-pair matcher and keep
+    # whichever graph connects more images. The reference offers the same
+    # remedy only as the manual matchFeaturesPairwise flag. Bounded by
+    # pairwise_rescue_max_images (the pairwise matcher is O(N^2) pairs).
+    pairwise_rescue: bool = True
+    pairwise_rescue_max_images: int = 64
     # second per-component matching pass (imageMatchingPanoramaConComps
     # re-extract/re-match, inputs.m:105 resizeImagePanoramaCluster): after
     # panorama discovery, re-match each component's members pairwise (the

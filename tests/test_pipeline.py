@@ -330,3 +330,46 @@ class TestMultiRowRig:
         rowcov = np.asarray(cover).mean(axis=1)
         mid = rowcov[len(rowcov) // 3 : 2 * len(rowcov) // 3]
         assert float(mid.min()) > 0.5  # no dead band at the row boundary
+
+
+class TestPairwiseRescue:
+    """The pooled global ratio test starves sets with repeated structure /
+    near-duplicate views (the 2nd NN is the SAME point seen in a third
+    image, so the ratio ~1 kills true matches). `pairwise_rescue`
+    re-matches per-pair when discovery fragments and keeps whichever graph
+    connects more images — measured on the reference's Shanghai set:
+    16 pairs / 10 fragments -> 87 pairs / ONE 30-view panorama."""
+
+    def _near_duplicates(self):
+        env = synthdata.texture(8, 500, 700)
+        boxes = [(i * 12, 0, 480, 420) for i in range(5)]
+        return make_set(synthdata.planar_crops(env, boxes))
+
+    def test_rescue_consolidates_near_duplicates(self):
+        iset = self._near_duplicates()
+        cfg = small_cfg()
+        cfg_no = cfg.replace(
+            matching=dataclasses.replace(cfg.matching, pairwise_rescue=False)
+        )
+        res_no = pipeline.stitch(iset, cfg_no)
+        # the global matcher fragments this set (if this ever starts
+        # passing, the rescue test below loses its premise — revisit)
+        assert len(res_no.panoramas) >= 2 or (
+            res_no.panoramas
+            and len(res_no.panoramas[0]["members"]) < iset.n
+        )
+        res = pipeline.stitch(iset, cfg)  # rescue on by default
+        assert len(res.panoramas) == 1
+        assert len(res.panoramas[0]["members"]) == iset.n
+
+    def test_rescue_keeps_correct_multi_panorama_split(self):
+        """Two genuinely unrelated groups: the rescue fires (discovery is
+        'fragmented') but must NOT merge them or change the result."""
+        env_a = synthdata.texture(2, 420, 800)
+        env_b = synthdata.texture(3, 420, 800)
+        va = synthdata.planar_crops(env_a, [(0, 0, 420, 380), (280, 20, 420, 380)])
+        vb = synthdata.planar_crops(env_b, [(10, 10, 420, 380), (300, 0, 420, 380)])
+        iset = make_set([va[0], vb[0], va[1], vb[1]])
+        res = pipeline.stitch(iset, small_cfg())
+        members = sorted(tuple(sorted(p["members"].tolist())) for p in res.panoramas)
+        assert members == [(0, 2), (1, 3)]
