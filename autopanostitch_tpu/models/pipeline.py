@@ -214,6 +214,67 @@ def verify_matches(
     )
 
 
+def pairwise_rescue(
+    feats: SiftFeatures,
+    graph: "MatchGraph",
+    comps: np.ndarray,
+    n: int,
+    cfg: StitchConfig,
+    key: jax.Array,
+):
+    """Recover match graphs the pooled global ratio test starved.
+
+    Repeated structure (a skyline's towers) and near-duplicate views (a
+    dense capture ring) put a true correspondence's 2nd nearest neighbour
+    at the SAME scene point in a third image, so the pooled ratio ~1
+    rejects it. The reference's only remedy is the manual
+    `matchFeaturesPairwise` flag (`inputs.m:46`); this fires automatically
+    when discovery fragments SUSPICIOUSLY — a singleton or a 2-member
+    component exists (starvation leaves weak shards; a clean multi-
+    panorama split into solid >=3-view groups is left alone and pays
+    nothing) — re-matches every pair with the per-pair matcher, and keeps
+    whichever graph connects more images.
+
+    Measured on the reference's own capture sheets (real photos): CMU0
+    7 fragments -> ONE ~360 deg panorama (37/38 photos); Shanghai
+    16 pairs / 10 fragments -> 87 pairs / ONE 30-view panorama.
+
+    Shared by `stitch` and `parallel.stitch_multichip` (identical graphs
+    on both paths by construction). Returns (graph, comps), unchanged
+    when the rescue does not fire or does not improve connectivity.
+    """
+    _, cnt = np.unique(comps, return_counts=True)
+    suspicious = len(cnt) > 1 and bool((cnt <= 2).any())
+    if not (
+        cfg.matching.pairwise_rescue
+        and not cfg.matching.match_pairwise
+        and suspicious
+        and n <= cfg.matching.pairwise_rescue_max_images
+    ):
+        return graph, comps
+    cfg_pw = cfg.replace(
+        matching=dataclasses.replace(cfg.matching, match_pairwise=True)
+    )
+    p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
+    if len(p2):
+        p2, pi2, pm2 = select_candidate_pairs(
+            p2, pi2, pm2, c2, cfg.image_match.m_brown_lowe
+        )
+    graph2 = verify_matches(feats, p2, pi2, pm2, c2, cfg,
+                            jax.random.fold_in(key, 3))
+    comps2 = connected_components(n, graph2.pairs, graph2.accepted)
+
+    def stitched(c):
+        _, k = np.unique(c, return_counts=True)
+        return int(k[k >= 2].sum())
+
+    better = stitched(comps2) > stitched(comps) or (
+        stitched(comps2) == stitched(comps)
+        and len(np.unique(comps2)) < len(np.unique(comps))
+    )
+    return (graph2, comps2) if better else (graph, comps)
+
+
 def connected_components(n: int, pairs: np.ndarray, accepted: np.ndarray) -> np.ndarray:
     """Union-find panorama discovery (`imageMatchingPanoramaConComps.m:43-44`).
 
@@ -326,47 +387,11 @@ def stitch(
 
     comps = connected_components(image_set.n, graph.pairs, graph.accepted)
 
-    # pairwise rescue: the pooled global ratio test starves scenes with
-    # repeated structure (a skyline's towers all match each other across
-    # the pool, so the 1st/2nd-NN ratio fails even for true
-    # correspondences). When discovery fragments, re-match every pair
-    # with the per-pair matcher — the reference exposes the same escape
-    # hatch as the manual `matchFeaturesPairwise` flag (`inputs.m:46`);
-    # here it fires automatically and keeps whichever graph connects
-    # more images. Measured on the reference's Shanghai capture set
-    # (30 real photos): global matcher 16 pairs / 10 fragments ->
-    # pairwise 87 pairs / ONE 30-view panorama.
-    if (
-        fresh_graph
-        and cfg.matching.pairwise_rescue
-        and not cfg.matching.match_pairwise
-        and len(np.unique(comps)) > 1
-        and image_set.n <= cfg.matching.pairwise_rescue_max_images
-    ):
+    if fresh_graph:
         with _stage(timer, "pairwise_rescue"):
-            cfg_pw = cfg.replace(
-                matching=dataclasses.replace(cfg.matching, match_pairwise=True)
+            graph, comps = pairwise_rescue(
+                feats, graph, comps, image_set.n, cfg, key
             )
-            p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
-            if len(p2):
-                p2, pi2, pm2 = select_candidate_pairs(
-                    p2, pi2, pm2, c2, cfg.image_match.m_brown_lowe
-                )
-            graph2 = verify_matches(feats, p2, pi2, pm2, c2, cfg,
-                                    jax.random.fold_in(key, 3))
-            comps2 = connected_components(image_set.n, graph2.pairs,
-                                          graph2.accepted)
-
-            def stitched(c):
-                _, cnt = np.unique(c, return_counts=True)
-                return int(cnt[cnt >= 2].sum())
-
-            better = stitched(comps2) > stitched(comps) or (
-                stitched(comps2) == stitched(comps)
-                and len(np.unique(comps2)) < len(np.unique(comps))
-            )
-            if better:
-                graph, comps = graph2, comps2
     if cache is not None and fresh_graph:
         # cache the POST-rescue graph so a resumed run skips the rescue
         cache.save(key_graph, "graph",
@@ -649,7 +674,10 @@ def stitch_component(
                 # so over-cap planar pairs keep spatially spread matches
                 rng = np.random.default_rng(1000003 * gi + gj)
                 pick = bundle_stage.stratified_subsample(
-                    xy[gi, graph.pair_idx[p, idxs, 0]], sizes[gi], M,
+                    # gi is a GLOBAL image index; `sizes` here is the
+                    # member-local slice, so use the full-set sizes
+                    xy[gi, graph.pair_idx[p, idxs, 0]],
+                    image_set.sizes[gi], M,
                     cfg.bundle.subsample_mode, rng,
                     grid_bins=cfg.bundle.subsample_grid_bins,
                     polar_bins=cfg.bundle.subsample_polar_bins,

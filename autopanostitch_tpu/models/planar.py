@@ -209,6 +209,13 @@ def composite_from_abs(
     first (reference `gainCompensationH.m`).
     Returns dict(panorama, coverage, offset, scale, gains).
     """
+    if interp == "bicubic2x":
+        # the band compositor warps every FULL image once per canvas band,
+        # so bicubic2x's per-call 2x upsample would redo the dense resize
+        # of the whole stack for every band (pure recompute, 4x the HBM).
+        # True bicubic has the same quality here; bicubic2x only pays off
+        # in the tile kernel where the upsample is per-contributor-subset.
+        interp = "bicubic"
     n = len(sizes)
     Hc, Wc, x0, y0, scale = planar_canvas_bounds(H_abs, sizes, reachable, max_megapixel)
     S = np.diag([scale, scale, 1.0]).astype(np.float32)

@@ -438,6 +438,17 @@ def _concat_feather(images: Array, feathers: Array) -> Array:
     return jnp.concatenate([images, feathers[..., None]], axis=-1)
 
 
+def fit_tile(size: int, tmax: int) -> int:
+    """Fit tiles to the canvas so padding never dominates: split the
+    dimension into the fewest tiles of size <= tmax, each rounded up to 32
+    (a 626-row canvas under fixed 512-row tiles computed 2x512 rows — 63%
+    dead; fitted 2x320 wastes 2%). Shared by the single-chip renderer and
+    `parallel.sharded.sharded_render_tiles` — their bit-identical-output
+    guarantee depends on an identical tile grid."""
+    n = max(1, (size + tmax - 1) // tmax)
+    return ((-(-size // n) + 31) // 32) * 32
+
+
 def tile_contributors(
     canvas: dict,
     R: np.ndarray,
@@ -579,14 +590,6 @@ def render_rotational(
     Returns (panorama (Hc, Wc, 3) uint8, coverage (Hc, Wc) bool).
     """
     Hc, Wc = canvas["Hc"], canvas["Wc"]
-
-    # fit tiles to the canvas so padding never dominates: split each dim
-    # into the fewest tiles of size <= the configured max, each rounded up
-    # to 32 (a 626-row canvas under fixed 512-row tiles computed 2x512 rows
-    # — 63% dead; fitted 2x320 wastes 2%)
-    def fit_tile(size, tmax):
-        n = max(1, (size + tmax - 1) // tmax)
-        return ((-(-size // n) + 31) // 32) * 32
 
     th = fit_tile(Hc, tile[0])
     tw = fit_tile(Wc, tile[1])

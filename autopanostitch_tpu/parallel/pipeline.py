@@ -139,39 +139,12 @@ def stitch_multichip(
     # including the same second-pass logic as the single-chip path ----
     comps = pl.connected_components(N, graph.pairs, graph.accepted)
 
-    # same pairwise rescue as pipeline.stitch (repeated-structure scenes
-    # starve the pooled ratio test); the rescue matcher itself runs
-    # single-chip — it only fires on fragmented discovery, and parity
-    # with the single-chip result requires identical graphs
-    if (
-        cfg.matching.pairwise_rescue
-        and not cfg.matching.match_pairwise
-        and len(np.unique(comps)) > 1
-        and N <= cfg.matching.pairwise_rescue_max_images
-    ):
-        import dataclasses
-
-        cfg_pw = cfg.replace(
-            matching=dataclasses.replace(cfg.matching, match_pairwise=True)
-        )
-        p2, pi2, pm2, c2 = pl.match_features(feats, cfg_pw)
-        if len(p2):
-            p2, pi2, pm2 = pl.select_candidate_pairs(
-                p2, pi2, pm2, c2, cfg.image_match.m_brown_lowe
-            )
-        graph2 = pl.verify_matches(feats, p2, pi2, pm2, c2, cfg,
-                                   jax.random.fold_in(key, 3))
-        comps2 = pl.connected_components(N, graph2.pairs, graph2.accepted)
-
-        def _stitched(c):
-            _, cnt = np.unique(c, return_counts=True)
-            return int(cnt[cnt >= 2].sum())
-
-        if _stitched(comps2) > _stitched(comps) or (
-            _stitched(comps2) == _stitched(comps)
-            and len(np.unique(comps2)) < len(np.unique(comps))
-        ):
-            graph, comps = graph2, comps2
+    # same pairwise rescue as pipeline.stitch (shared helper, so the
+    # trigger/tiebreak policy cannot desynchronize between paths); the
+    # rescue matcher itself runs single-chip — it only fires on
+    # suspicious fragmentation, and parity with the single-chip result
+    # requires identical graphs
+    graph, comps = pl.pairwise_rescue(feats, graph, comps, N, cfg, key)
     panoramas = []
     for label in np.unique(comps):
         members = np.nonzero(comps == label)[0]

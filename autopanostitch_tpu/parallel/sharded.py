@@ -239,15 +239,10 @@ def sharded_render_tiles(
     import numpy as np
 
     from autopanostitch_tpu.models.render import (
-        _concat_feather, _render_tile_impl, tile_contributors,
+        _concat_feather, _render_tile_impl, fit_tile, tile_contributors,
     )
 
     Hc, Wc = canvas["Hc"], canvas["Wc"]
-
-    def fit_tile(size, tmax):  # same fitting rule as render_rotational
-        nt = max(1, (size + tmax - 1) // tmax)
-        return ((-(-size // nt) + 31) // 32) * 32
-
     th = fit_tile(Hc, tile[0])
     tw = fit_tile(Wc, tile[1])
     N = images.shape[0]

@@ -95,16 +95,21 @@ def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMat
 
 
 def bench_real(pipeline, StitchConfig, ImageSet):
-    """Real-photograph evidence (VERDICT r2 item 1): the reference's own
-    church set and the CMU0 capture-rig sheet sliced back into photos."""
+    """Asset gate for the real-photograph sections (`_bench_church` /
+    `_bench_cmu0` / `_bench_grandcanyon`, each isolated in main so a late
+    failure cannot discard already-measured entries)."""
+    from autopanostitch_tpu.utils import real_data
+
+    if not real_data.have_reference_assets():
+        return {"real_error": "reference assets not present"}
+    return {}
+
+
+def _bench_church(pipeline, StitchConfig, out):
     import dataclasses
 
     from autopanostitch_tpu.utils import real_data
     from autopanostitch_tpu.utils.image_io import load_image_set
-
-    out = {}
-    if not real_data.have_reference_assets():
-        return {"real_error": "reference assets not present"}
 
     # church trio: 3 real overlapping renderings -> ONE panorama
     cfg = StitchConfig()
@@ -124,8 +129,16 @@ def bench_real(pipeline, StitchConfig, ImageSet):
         sorted(pano["members"].tolist()) if pano is not None else []
     )
     if pano is not None:
-        cov = pano["coverage_by_mode"]["spherical"]
-        out["church_coverage"] = round(float(np.asarray(cov).mean()), 3)
+        cov_by_mode = pano.get("coverage_by_mode") or {}
+        cov = next(iter(cov_by_mode.values()), None)
+        if cov is not None:
+            out["church_coverage"] = round(float(np.asarray(cov).mean()), 3)
+
+
+def _bench_cmu0(pipeline, StitchConfig, out):
+    import dataclasses
+
+    from autopanostitch_tpu.utils import real_data
 
     # CMU0 sheet: 38 real photos. second_pass=False (the per-component
     # second pass re-extracts at many distinct shapes — minutes of relay
@@ -151,6 +164,15 @@ def bench_real(pipeline, StitchConfig, ImageSet):
     out["cmu0_images_stitched"] = int(sum(sizes))
     out["cmu0_accepted_pairs"] = int(np.asarray(res.graph.accepted).sum())
 
+
+def _bench_grandcanyon(pipeline, StitchConfig, out):
+    import dataclasses
+
+    from autopanostitch_tpu.utils import real_data
+
+    cfg0 = StitchConfig()
+    cfg0 = cfg0.replace(matching=dataclasses.replace(
+        cfg0.matching, second_pass=False))
     # Grand Canyon sheet: ALL 35 real photos must stitch into ONE panorama
     # (measured r3: 53 accepted pairs, single 35-view component)
     tiles = real_data.load_montage_tiles("grandcanyon")
@@ -163,7 +185,6 @@ def bench_real(pipeline, StitchConfig, ImageSet):
     out["grandcanyon_largest"] = max(
         (len(p["members"]) for p in res.panoramas), default=0
     )
-    return out
 
 
 def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
@@ -218,7 +239,9 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     t0 = time.time()
     pipeline.stitch(iset_dev, cfg, timer=timer)
     dev_s = time.time() - t0
-    stage_breakdown = {k: round(v, 3) for k, v in timer.durations}
+    stage_breakdown = {}
+    for k, v in timer.durations:  # sum repeats (one entry per component)
+        stage_breakdown[k] = round(stage_breakdown.get(k, 0.0) + v, 3)
 
     pr = res.panoramas[0]
     pano = pr["projections"]["spherical"]
@@ -287,10 +310,17 @@ def main():
                                  n_views=200))
     except Exception as e:
         out["pano200_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:  # real photographs (VERDICT r2 item 1)
-        out.update(bench_real(pipeline, StitchConfig, ImageSet))
-    except Exception as e:
-        out["real_error"] = f"{type(e).__name__}: {e}"[:200]
+    # real photographs (VERDICT r2 item 1): each dataset isolated so a
+    # late failure cannot discard already-measured entries
+    real = bench_real(pipeline, StitchConfig, ImageSet)
+    out.update(real)
+    if "real_error" not in real:
+        for label, fn in (("church", _bench_church), ("cmu0", _bench_cmu0),
+                          ("grandcanyon", _bench_grandcanyon)):
+            try:
+                fn(pipeline, StitchConfig, out)
+            except Exception as e:
+                out[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

@@ -373,3 +373,25 @@ class TestPairwiseRescue:
         res = pipeline.stitch(iset, small_cfg())
         members = sorted(tuple(sorted(p["members"].tolist())) for p in res.panoramas)
         assert members == [(0, 2), (1, 3)]
+
+
+def test_planar_subsample_multi_component_global_indices():
+    """Planar H-BA subsampling uses GLOBAL image indices against the
+    full-set sizes array (regression: it indexed the member-local sizes
+    slice with a global index, crashing whenever a planar component's
+    members did not start at image 0)."""
+    env_a = synthdata.texture(21, 420, 800)
+    env_b = synthdata.texture(22, 430, 820)
+    va = synthdata.planar_crops(env_a, [(0, 0, 420, 380), (280, 20, 420, 380)])
+    vb = synthdata.planar_crops(env_b, [(0, 0, 420, 380), (300, 10, 420, 380)])
+    iset = make_set([va[0], va[1], vb[0], vb[1]])  # planar comp at [2, 3]
+    cfg = small_cfg()
+    cfg = cfg.replace(
+        straighten=dataclasses.replace(cfg.straighten, force_planar_scan=True),
+        # tiny cap so the over-cap stratified subsampling actually fires
+        bundle=dataclasses.replace(cfg.bundle, max_matches=24,
+                                   subsample_mode="grid"),
+    )
+    res = pipeline.stitch(iset, cfg)
+    members = sorted(tuple(sorted(p["members"].tolist())) for p in res.panoramas)
+    assert members == [(0, 1), (2, 3)]

@@ -38,9 +38,11 @@ sys.path.insert(0, REPO)
 # warm. 800 is the reference default (`inputs.m:104`); 480 is the bench /
 # real-image point.
 DEFAULT_BUCKETS = [(800, 800), (480, 480)]
-N_IMAGES = 3  # smallest multi-image stack; jit keys on H/W, not N... per
-# stage: extraction keys on (N, H, W) so we warm the exact small-N shapes
-# the CLI second pass uses as well as the requested N.
+# Pipeline executables key on (N, H, W) — extraction groups by 50, so all
+# N in one group bucket share shapes only if N matches. Warm the N you
+# will stitch (--n); the default 3 covers the smallest multi-image case
+# and the per-component second-pass shapes.
+N_IMAGES = 3
 
 
 def synth_image_set(ImageSet, np, h, w, n):
@@ -56,8 +58,12 @@ def synth_image_set(ImageSet, np, h, w, n):
                     names=[f"warm{k}" for k in range(n)])
 
 
-def warm(buckets=None, cache_dir=None, verbose=True):
-    """Run one tiny stitch per shape bucket with the persistent cache on."""
+def warm(buckets=None, cache_dir=None, verbose=True, n=N_IMAGES):
+    """Run one tiny stitch per shape bucket with the persistent cache on.
+
+    `n` must match the image count of the sets you will stitch — the
+    extraction/matching executables key on (N, H, W), so warming N=3 does
+    NOT cover a 38-image dataset's first-pass compiles."""
     from autopanostitch_tpu.utils import compile_cache
 
     path = compile_cache.enable(cache_dir)
@@ -74,7 +80,7 @@ def warm(buckets=None, cache_dir=None, verbose=True):
         hp = -(-h // 32) * 32
         wp = -(-w // 32) * 32
         t0 = time.time()
-        iset = synth_image_set(ImageSet, np, hp, wp, N_IMAGES)
+        iset = synth_image_set(ImageSet, np, hp, wp, n)
         pipeline.stitch(iset, cfg)
         if verbose:
             print(f"warmed bucket ({hp}, {wp}) in {time.time() - t0:.1f} s")
@@ -130,12 +136,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--measure", action="store_true")
+    ap.add_argument("--n", type=int, default=N_IMAGES,
+                    help="image count to warm (executables key on N)")
     args = ap.parse_args()
     if args.measure:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    path = warm(cache_dir=args.cache_dir)
+    path = warm(cache_dir=args.cache_dir, n=args.n)
     if args.measure:
         measure(path)
 
