@@ -15,6 +15,12 @@ import os
 def enable(cache_dir: str | None = None) -> str:
     import jax
 
+    if os.environ.get("AUTOPANO_DISABLE_COMPILE_CACHE"):
+        # test suites set this: writing certain executables (observed with
+        # the CPU backend's shard_map programs) can SEGFAULT inside
+        # jaxlib's executable serialization, killing the whole run; tests
+        # gain nothing from the persistent cache anyway
+        return ""
     if cache_dir is None:
         cache_dir = os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
