@@ -293,23 +293,35 @@ def main():
     from autopanostitch_tpu.models import pipeline
     from autopanostitch_tpu.utils.image_io import ImageSet
 
+    def checkpoint(out):
+        # a full bench run is ~20 min of relay compiles; persist progress
+        # so a truncated run still leaves the measured sections on disk
+        try:
+            with open("bench_partial.json", "w") as f:
+                json.dump(out, f)
+        except OSError:
+            pass
+
     out = {"metric": "e2e_stitch_mpix_per_sec", "unit": "Mpix/s"}
     r6 = bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
                      ImageMatchConfig, ImageSet)
     out.update(r6)
     out["vs_baseline"] = round(r6["value"] / REFERENCE_EST_MPIX_S, 2)
     out["vs_baseline_note"] = "estimate; reference publishes no numbers"
+    checkpoint(out)
     try:
         out.update(bench_pano100(pipeline, StitchConfig, DetectorConfig,
                                  MatchingConfig, ImageMatchConfig, ImageSet))
     except Exception as e:  # never lose the headline metric
         out["pano100_error"] = f"{type(e).__name__}: {e}"[:200]
+    checkpoint(out)
     try:  # scaling point: 200 views (VERDICT r2 item 4)
         out.update(bench_pano100(pipeline, StitchConfig, DetectorConfig,
                                  MatchingConfig, ImageMatchConfig, ImageSet,
                                  n_views=200))
     except Exception as e:
         out["pano200_error"] = f"{type(e).__name__}: {e}"[:200]
+    checkpoint(out)
     # real photographs (VERDICT r2 item 1): each dataset isolated so a
     # late failure cannot discard already-measured entries
     real = bench_real(pipeline, StitchConfig, ImageSet)
@@ -319,6 +331,7 @@ def main():
                           ("grandcanyon", _bench_grandcanyon)):
             try:
                 fn(pipeline, StitchConfig, out)
+                checkpoint(out)
             except Exception as e:
                 out[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
