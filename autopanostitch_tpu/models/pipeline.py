@@ -240,8 +240,9 @@ def pairwise_rescue(
     16 pairs / 10 fragments -> 87 pairs / ONE 30-view panorama.
 
     Shared by `stitch` and `parallel.stitch_multichip` (identical graphs
-    on both paths by construction). Returns (graph, comps), unchanged
-    when the rescue does not fire or does not improve connectivity.
+    on both paths by construction). Returns (graph, comps, adopted);
+    graph/comps are unchanged (adopted=False) when the rescue does not
+    fire or does not improve connectivity.
     """
     _, cnt = np.unique(comps, return_counts=True)
     suspicious = len(cnt) > 1 and bool((cnt <= 2).any())
@@ -251,7 +252,7 @@ def pairwise_rescue(
         and suspicious
         and n <= cfg.matching.pairwise_rescue_max_images
     ):
-        return graph, comps
+        return graph, comps, False
     cfg_pw = cfg.replace(
         matching=dataclasses.replace(cfg.matching, match_pairwise=True)
     )
@@ -272,7 +273,7 @@ def pairwise_rescue(
         stitched(comps2) == stitched(comps)
         and len(np.unique(comps2)) < len(np.unique(comps))
     )
-    return (graph2, comps2) if better else (graph, comps)
+    return (graph2, comps2, True) if better else (graph, comps, False)
 
 
 def connected_components(n: int, pairs: np.ndarray, accepted: np.ndarray) -> np.ndarray:
@@ -387,9 +388,10 @@ def stitch(
 
     comps = connected_components(image_set.n, graph.pairs, graph.accepted)
 
+    rescue_adopted = False
     if fresh_graph:
         with _stage(timer, "pairwise_rescue"):
-            graph, comps = pairwise_rescue(
+            graph, comps, rescue_adopted = pairwise_rescue(
                 feats, graph, comps, image_set.n, cfg, key
             )
     if cache is not None and fresh_graph:
@@ -397,6 +399,13 @@ def stitch(
         cache.save(key_graph, "graph",
                    **{k: np.asarray(getattr(graph, k))
                       for k in MatchGraph.__dataclass_fields__})
+
+    # when the graph is already per-pair dense (pairwise mode, or the
+    # rescue adopted the pairwise graph), the second-pass pairwise
+    # re-match would recompute the identical matcher on the same features
+    # — skip it; the full re-resize second pass still applies (it changes
+    # the FEATURES, and self-skips when the re-resize reproduces them)
+    graph_is_pairwise = cfg.matching.match_pairwise or rescue_adopted
 
     panoramas = []
     for label in np.unique(comps):
@@ -421,12 +430,12 @@ def stitch(
                         timer=timer,
                     )
                     result["members"] = members
-            if result is None:
+            if result is None and not graph_is_pairwise:
                 comp_graph = second_pass_matching(feats, members, graph, cfg, key)
                 result = stitch_component(image_set, comp_graph, feats, members, cfg,
                                           images_dev=images, feathers_dev=feathers,
                                           timer=timer)
-        else:
+        if result is None:
             result = stitch_component(image_set, graph, feats, members, cfg,
                                       images_dev=images, feathers_dev=feathers,
                                       cache=cache, cache_key=key_ba,

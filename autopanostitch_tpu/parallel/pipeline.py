@@ -144,7 +144,9 @@ def stitch_multichip(
     # rescue matcher itself runs single-chip — it only fires on
     # suspicious fragmentation, and parity with the single-chip result
     # requires identical graphs
-    graph, comps = pl.pairwise_rescue(feats, graph, comps, N, cfg, key)
+    graph, comps, rescue_adopted = pl.pairwise_rescue(feats, graph, comps, N,
+                                                      cfg, key)
+    graph_is_pairwise = cfg.matching.match_pairwise or rescue_adopted
     panoramas = []
     for label in np.unique(comps):
         members = np.nonzero(comps == label)[0]
@@ -168,13 +170,13 @@ def stitch_multichip(
                         mesh=mesh,
                     )
                     result["members"] = members
-            if result is None:
+            if result is None and not graph_is_pairwise:
                 comp_graph = pl.second_pass_matching(feats, members, graph,
                                                      cfg, key)
                 result = pl.stitch_component(image_set, comp_graph, feats,
                                              members, cfg, images_dev=images,
                                              feathers_dev=feathers, mesh=mesh)
-        else:
+        if result is None:
             result = pl.stitch_component(image_set, graph, feats, members, cfg,
                                          images_dev=images,
                                          feathers_dev=feathers, mesh=mesh)
