@@ -195,6 +195,29 @@ def _bench_grandcanyon(pipeline, StitchConfig, out):
     )
 
 
+def _bench_yellowstone(pipeline, StitchConfig, out):
+    import dataclasses
+
+    from autopanostitch_tpu.utils import real_data
+
+    # Yellowstone sheet: a 2-ROW capture rig of 23 real photos — the 2-D
+    # match-graph + multi-row renderer proof on real data (measured r3:
+    # ONE 22-photo panorama)
+    cfg0 = StitchConfig()
+    cfg0 = cfg0.replace(matching=dataclasses.replace(
+        cfg0.matching, second_pass=False))
+    tiles = real_data.load_montage_tiles("yellowstone")
+    iset = real_data.image_set_from_arrays(tiles, 800, 800)
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg0)
+    out["yellowstone_s"] = round(time.time() - t0, 2)
+    out["yellowstone_n_images"] = len(tiles)
+    out["yellowstone_n_panoramas"] = len(res.panoramas)
+    out["yellowstone_largest"] = max(
+        (len(p["members"]) for p in res.panoramas), default=0
+    )
+
+
 def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
                   ImageMatchConfig, ImageSet, n_views=100):
     """North-star workload: 100-view 360x~50 spherical pano, PSNR vs GT."""
@@ -337,7 +360,8 @@ def main():
     out.update(real)
     if "real_error" not in real:
         for label, fn in (("church", _bench_church), ("cmu0", _bench_cmu0),
-                          ("grandcanyon", _bench_grandcanyon)):
+                          ("grandcanyon", _bench_grandcanyon),
+                          ("yellowstone", _bench_yellowstone)):
             try:
                 fn(pipeline, StitchConfig, out)
                 checkpoint(out)
