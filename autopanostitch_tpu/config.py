@@ -60,6 +60,13 @@ class MatchingConfig:
     # pairwise_rescue_max_images (the pairwise matcher is O(N^2) pairs).
     pairwise_rescue: bool = True
     pairwise_rescue_max_images: int = 64
+    # above pairwise_rescue_max_images the rescue does NOT give up: it
+    # switches from all-pairs re-matching to a bounded candidate set —
+    # the top pairwise_rescue_m neighbours per image ranked by raw
+    # global-kNN votes (ops/matching.knn_votes; the pre-ratio-test signal
+    # stays strong exactly when the ratio test starves) plus every
+    # already-accepted pair — keeping the rescue O(N*m) pairs at any N
+    pairwise_rescue_m: int = 8
     # second per-component matching pass (imageMatchingPanoramaConComps
     # re-extract/re-match, inputs.m:105 resizeImagePanoramaCluster): after
     # panorama discovery, re-match each component's members pairwise (the

@@ -85,12 +85,16 @@ def _matcher_semantics(cfg: StitchConfig):
     return float(threshold), binary
 
 
-def match_features(feats: SiftFeatures, cfg: StitchConfig):
+def match_features(feats: SiftFeatures, cfg: StitchConfig, return_votes=False):
     """Feature matching stage producing per-pair putative match lists.
 
     Global pooled mode (`featureMatchingGlobal.m`, default) or pairwise mode
     (`featureMatchingPairwise.m`, `inputs.m:46 matchFeaturesPairwise`).
-    Returns (pairs, pair_idx, pair_mask, counts)."""
+    Returns (pairs, pair_idx, pair_mask, counts); with return_votes=True a
+    fifth element — the raw (N, N) pre-ratio kNN vote matrix
+    (`ops.matching.knn_votes`) in global mode, the putative counts in
+    pairwise mode (no pooled starvation there) — used by the scalable
+    pairwise rescue's candidate selection."""
     N, K, D = feats.desc.shape
     threshold, binary = _matcher_semantics(cfg)
 
@@ -110,7 +114,8 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
         counts[pairs[:, 0], pairs[:, 1]] = n
         counts += counts.T
         keep = n > 0
-        return pairs[keep], np.asarray(idx)[keep], np.asarray(m)[keep], counts
+        out = (pairs[keep], np.asarray(idx)[keep], np.asarray(m)[keep], counts)
+        return out + (counts,) if return_votes else out
 
     desc = feats.desc.reshape(N * K, D)
     mask = feats.mask.reshape(N * K)
@@ -124,7 +129,7 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
     best, accepted = mt.global_ratio_test(
         nn_idx, nn_dist, ratio=cfg.matching.ratio_threshold, binary=binary
     )
-    return mt.global_matches_to_pairs(
+    out = mt.global_matches_to_pairs(
         np.asarray(best),
         np.asarray(accepted),
         np.asarray(image_id),
@@ -132,6 +137,10 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig):
         N,
         cfg.matching.max_matches_per_pair,
     )
+    if return_votes:
+        votes = mt.knn_votes(nn_idx, nn_dist, np.asarray(image_id), N)
+        return out + (votes,)
+    return out
 
 
 def select_candidate_pairs(pairs, pair_idx, pair_mask, counts, m: int):
@@ -214,6 +223,20 @@ def verify_matches(
     )
 
 
+def _vote_candidate_pairs(votes: np.ndarray, m: int) -> np.ndarray:
+    """Top-m neighbours per image by kNN votes -> (P, 2) i<j pair list."""
+    n = votes.shape[0]
+    cand = np.zeros((n, n), bool)
+    top = np.argsort(-votes, axis=1)[:, : min(m, n - 1)]
+    rows = np.repeat(np.arange(n), top.shape[1])
+    cols = top.ravel()
+    sel = votes[rows, cols] > 0
+    cand[rows[sel], cols[sel]] = True
+    cand = cand | cand.T
+    iu, ju = np.nonzero(np.triu(cand, 1))
+    return np.stack([iu, ju], 1).astype(np.int32)
+
+
 def pairwise_rescue(
     feats: SiftFeatures,
     graph: "MatchGraph",
@@ -221,6 +244,7 @@ def pairwise_rescue(
     n: int,
     cfg: StitchConfig,
     key: jax.Array,
+    votes: Optional[np.ndarray] = None,
 ):
     """Recover match graphs the pooled global ratio test starved.
 
@@ -232,12 +256,18 @@ def pairwise_rescue(
     when discovery fragments SUSPICIOUSLY — a singleton or a 2-member
     component exists (starvation leaves weak shards; a clean multi-
     panorama split into solid >=3-view groups is left alone and pays
-    nothing) — re-matches every pair with the per-pair matcher, and keeps
-    whichever graph connects more images.
+    nothing) — re-matches with the per-pair matcher, and keeps whichever
+    graph connects more images. Up to pairwise_rescue_max_images every
+    pair is re-matched; above it the candidate set is bounded to the top
+    pairwise_rescue_m kNN-vote neighbours per image plus the accepted
+    pairs (O(N*m) pairs at any N; `votes` comes from
+    `match_features(..., return_votes=True)`).
 
     Measured on the reference's own capture sheets (real photos): CMU0
     7 fragments -> ONE ~360 deg panorama (37/38 photos); Shanghai
-    16 pairs / 10 fragments -> 87 pairs / ONE 30-view panorama.
+    16 pairs / 10 fragments -> 87 pairs / ONE 30-view panorama. On a
+    synthetic 1000-view ring (0.36 deg spacing — total ratio starvation)
+    the vote-bounded path consolidates 288 -> 1000 members.
 
     Shared by `stitch` and `parallel.stitch_multichip` (identical graphs
     on both paths by construction). Returns (graph, comps, adopted);
@@ -250,17 +280,45 @@ def pairwise_rescue(
         cfg.matching.pairwise_rescue
         and not cfg.matching.match_pairwise
         and suspicious
-        and n <= cfg.matching.pairwise_rescue_max_images
     ):
         return graph, comps, False
-    cfg_pw = cfg.replace(
-        matching=dataclasses.replace(cfg.matching, match_pairwise=True)
-    )
-    p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
-    if len(p2):
-        p2, pi2, pm2 = select_candidate_pairs(
-            p2, pi2, pm2, c2, cfg.image_match.m_brown_lowe
+    if n <= cfg.matching.pairwise_rescue_max_images:
+        cfg_pw = cfg.replace(
+            matching=dataclasses.replace(cfg.matching, match_pairwise=True)
         )
+        p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
+    else:
+        if votes is None:  # no vote signal (e.g. cached graph): skip
+            return graph, comps, False
+        cand = _vote_candidate_pairs(votes, cfg.matching.pairwise_rescue_m)
+        acc = np.asarray(graph.pairs)[np.asarray(graph.accepted, bool)]
+        if len(acc):
+            cand = np.unique(np.concatenate([cand, acc.astype(np.int32)]), axis=0)
+        P = len(cand)
+        if P == 0:
+            return graph, comps, False
+        Pb = -(-P // 256) * 256  # shape bucket: bounded recompiles
+        cand_pad = np.zeros((Pb, 2), np.int32)
+        cand_pad[:P] = cand
+        threshold, binary = _matcher_semantics(cfg)
+        idx, m_, nm = mt.match_pair_list(
+            feats.desc, feats.mask, jnp.asarray(cand_pad),
+            ratio=cfg.matching.ratio_threshold,
+            max_matches=cfg.matching.max_matches_per_pair,
+            threshold=threshold, binary=binary,
+            compute_dtype=cfg.tpu.compute_dtype,
+        )
+        idx, m_, nm = np.asarray(idx)[:P], np.asarray(m_)[:P], np.asarray(nm)[:P]
+        c2 = np.zeros((n, n), np.int32)
+        c2[cand[:, 0], cand[:, 1]] = nm
+        c2 += c2.T
+        keep = nm > 0
+        p2, pi2, pm2 = cand[keep], idx[keep], m_[keep]
+    if len(p2) == 0:  # nothing matched: an empty graph can't be better
+        return graph, comps, False
+    p2, pi2, pm2 = select_candidate_pairs(
+        p2, pi2, pm2, c2, cfg.image_match.m_brown_lowe
+    )
     graph2 = verify_matches(feats, p2, pi2, pm2, c2, cfg,
                             jax.random.fold_in(key, 3))
     comps2 = connected_components(n, graph2.pairs, graph2.accepted)
@@ -376,9 +434,12 @@ def stitch(
         if cg is not None:
             graph = MatchGraph(**{k: cg[k] for k in MatchGraph.__dataclass_fields__})
     fresh_graph = graph is None
+    votes = None
     if graph is None:
         with _stage(timer, "matching"):
-            pairs, pair_idx, pair_mask, counts = match_features(feats, cfg)
+            pairs, pair_idx, pair_mask, counts, votes = match_features(
+                feats, cfg, return_votes=True
+            )
             if len(pairs):
                 pairs, pair_idx, pair_mask = select_candidate_pairs(
                     pairs, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
@@ -392,7 +453,7 @@ def stitch(
     if fresh_graph:
         with _stage(timer, "pairwise_rescue"):
             graph, comps, rescue_adopted = pairwise_rescue(
-                feats, graph, comps, image_set.n, cfg, key
+                feats, graph, comps, image_set.n, cfg, key, votes=votes
             )
     if cache is not None and fresh_graph:
         # cache the POST-rescue graph so a resumed run skips the rescue
@@ -415,8 +476,9 @@ def stitch(
         result = None
         if cfg.matching.second_pass and len(members) < image_set.n:
             if cfg.matching.resize_panorama_cluster:
-                sp = second_pass_component(image_set, members, cfg,
-                                           jax.random.fold_in(key, 2))
+                with _stage(timer, "second_pass"):
+                    sp = second_pass_component(image_set, members, cfg,
+                                               jax.random.fold_in(key, 2))
                 if sp is not None and np.asarray(sp[3].accepted).any():
                     comp_set, comp_images, comp_feats, comp_graph = sp
                     comp_feathers = samp_ops.feather_stack(
@@ -431,7 +493,9 @@ def stitch(
                     )
                     result["members"] = members
             if result is None and not graph_is_pairwise:
-                comp_graph = second_pass_matching(feats, members, graph, cfg, key)
+                with _stage(timer, "second_pass"):
+                    comp_graph = second_pass_matching(feats, members, graph,
+                                                      cfg, key)
                 result = stitch_component(image_set, comp_graph, feats, members, cfg,
                                           images_dev=images, feathers_dev=feathers,
                                           timer=timer)

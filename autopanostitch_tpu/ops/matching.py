@@ -137,6 +137,52 @@ def match_pair(
         "max_matches", "ratio", "chunk", "threshold", "binary", "compute_dtype",
     ),
 )
+def match_pair_list(
+    desc: Array,  # (N, K, D)
+    mask: Array,  # (N, K)
+    pairs: Array,  # (P, 2) int32 image index pairs
+    ratio: float = 0.6,
+    max_matches: int = 512,
+    chunk: int = 16,
+    threshold: float = float("inf"),
+    binary: bool = False,
+    compute_dtype: str = "float32",
+):
+    """Pairwise matching restricted to an explicit (P, 2) pair list.
+
+    The bounded-candidate form of :func:`match_all_pairs`: pair index
+    arrays are gathered per chunk and matched with the vmapped 2-NN kernel
+    under lax.scan (bounds memory to chunk x K x K). Used by the scalable
+    pairwise rescue, which re-matches only the top-m kNN-vote neighbours
+    per image instead of all N(N-1)/2 pairs — O(N*m) pairs at any N.
+
+    Returns (idx (P, max_matches, 2), m (P, max_matches), counts (P,))
+    aligned with the input pair list.
+    """
+    P = pairs.shape[0]
+    nchunks = (P + chunk - 1) // chunk
+    Ppad = nchunks * chunk
+    ij = jnp.pad(pairs, ((0, Ppad - P), (0, 0)))
+
+    def one(i, j):
+        return match_pair(
+            desc[i], mask[i], desc[j], mask[j], ratio=ratio,
+            max_matches=max_matches, threshold=threshold, binary=binary,
+            compute_dtype=compute_dtype,
+        )
+
+    def step(_, ij_c):
+        idx, m, n = jax.vmap(one)(ij_c[:, 0], ij_c[:, 1])
+        return None, (idx, m, n)
+
+    _, (idx, m, n) = jax.lax.scan(step, None, ij.reshape(nchunks, chunk, 2))
+    return (
+        idx.reshape(Ppad, max_matches, 2)[:P],
+        m.reshape(Ppad, max_matches)[:P],
+        n.reshape(Ppad)[:P],
+    )
+
+
 def match_all_pairs(
     desc: Array,  # (N, K, D)
     mask: Array,  # (N, K)
@@ -150,41 +196,46 @@ def match_all_pairs(
     """Pairwise matching over every (i < j) image pair in one program.
 
     The TPU replacement for the reference's parfor over upper-triangular
-    pairs (`featureMatching/featureMatchingPairwise.m:47-59`): pair index
-    arrays are gathered per chunk and matched with the vmapped 2-NN kernel
-    under lax.scan (bounds memory to chunk x K x K).
+    pairs (`featureMatching/featureMatchingPairwise.m:47-59`).
 
     Returns (pairs (P,2) int32, idx (P, max_matches, 2), m (P, max_matches),
     counts (P,)) with P = N(N-1)/2 in lexicographic order.
     """
     N = desc.shape[0]
-    iu, ju = jnp.triu_indices(N, 1)
-    P = iu.shape[0]
-    nchunks = (P + chunk - 1) // chunk
-    Ppad = nchunks * chunk
-    iu = jnp.pad(iu, (0, Ppad - P))
-    ju = jnp.pad(ju, (0, Ppad - P))
-
-    def one(i, j):
-        return match_pair(
-            desc[i], mask[i], desc[j], mask[j], ratio=ratio,
-            max_matches=max_matches, threshold=threshold, binary=binary,
-            compute_dtype=compute_dtype,
-        )
-
-    def step(_, ij):
-        i, j = ij
-        idx, m, n = jax.vmap(one)(i, j)
-        return None, (idx, m, n)
-
-    _, (idx, m, n) = jax.lax.scan(
-        step, None, (iu.reshape(nchunks, chunk), ju.reshape(nchunks, chunk))
+    iu, ju = np.triu_indices(N, 1)
+    pairs = jnp.asarray(np.stack([iu, ju], -1).astype(np.int32))
+    idx, m, n = match_pair_list(
+        desc, mask, pairs, ratio=ratio, max_matches=max_matches, chunk=chunk,
+        threshold=threshold, binary=binary, compute_dtype=compute_dtype,
     )
-    idx = idx.reshape(Ppad, max_matches, 2)[:P]
-    m = m.reshape(Ppad, max_matches)[:P]
-    n = n.reshape(Ppad)[:P]
-    pairs = jnp.stack([iu[:P], ju[:P]], -1).astype(jnp.int32)
     return pairs, idx, m, n
+
+
+def knn_votes(
+    nn_idx: np.ndarray, nn_dist: np.ndarray, image_id: np.ndarray, n_images: int
+) -> np.ndarray:
+    """(N, N) symmetric cross-image kNN vote counts BEFORE the ratio test.
+
+    votes[i, j] = how many (query feature in image i) x (one of its k
+    nearest cross-image neighbours in image j) events the pooled kNN
+    produced. The pooled ratio test starves near-duplicate / repeated-
+    structure pairs precisely BECAUSE the top neighbours concentrate in
+    the overlapping images (`featureMatchingGlobal.m:122-147` has the same
+    failure mode), so the raw vote matrix remains a strong overlap signal
+    when putative counts collapse — it ranks candidate pairs for the
+    scalable pairwise rescue. Host numpy: O(F*k) control-plane work.
+    """
+    nn_idx = np.asarray(nn_idx)
+    nn_dist = np.asarray(nn_dist)
+    image_id = np.asarray(image_id)
+    valid = nn_dist < 1e17  # masked queries/targets carry _BIG
+    ti = image_id[nn_idx]
+    qi = np.broadcast_to(image_id[:, None], ti.shape)
+    votes = np.zeros((n_images, n_images), np.int64)
+    np.add.at(votes, (qi[valid], ti[valid]), 1)
+    votes = votes + votes.T
+    np.fill_diagonal(votes, 0)
+    return votes.astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "block", "method", "compute_dtype"))

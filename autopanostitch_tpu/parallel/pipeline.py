@@ -101,6 +101,7 @@ def stitch_multichip(
         np.asarray(best), np.asarray(accepted), np.asarray(image_id),
         np.asarray(local_idx), N, cfg.matching.max_matches_per_pair,
     )
+    votes = mt.knn_votes(nn_idx, nn_dist, np.asarray(image_id), N)
     if len(pairs):
         pairs, pair_idx, pair_mask = pl.select_candidate_pairs(
             pairs, pair_idx, pair_mask, counts, cfg.image_match.m_brown_lowe
@@ -145,7 +146,7 @@ def stitch_multichip(
     # suspicious fragmentation, and parity with the single-chip result
     # requires identical graphs
     graph, comps, rescue_adopted = pl.pairwise_rescue(feats, graph, comps, N,
-                                                      cfg, key)
+                                                      cfg, key, votes=votes)
     graph_is_pairwise = cfg.matching.match_pairwise or rescue_adopted
     panoramas = []
     for label in np.unique(comps):

@@ -148,6 +148,75 @@ class TestMatchAllPairs:
         assert (n > K // 2).all()
 
 
+class TestMatchPairList:
+    def test_explicit_list_matches_all_pairs(self):
+        """match_pair_list on the full triu list == match_all_pairs."""
+        r = np.random.default_rng(9)
+        N, K, D = 5, 32, 32
+        descs = np.stack([make_descriptors(r, K, D) for _ in range(N)])
+        mask = r.random((N, K)) < 0.9
+        iu, ju = np.triu_indices(N, 1)
+        plist = np.stack([iu, ju], 1).astype(np.int32)
+        idx_l, m_l, n_l = mt.match_pair_list(
+            jnp.asarray(descs), jnp.asarray(mask), jnp.asarray(plist),
+            ratio=0.9, max_matches=K, chunk=4,
+        )
+        pairs, idx_a, m_a, n_a = mt.match_all_pairs(
+            jnp.asarray(descs), jnp.asarray(mask), ratio=0.9, max_matches=K, chunk=4
+        )
+        np.testing.assert_array_equal(np.asarray(pairs), plist)
+        np.testing.assert_array_equal(np.asarray(n_l), np.asarray(n_a))
+        np.testing.assert_array_equal(np.asarray(m_l), np.asarray(m_a))
+        np.testing.assert_array_equal(np.asarray(idx_l), np.asarray(idx_a))
+
+    def test_subset_rows_align_with_input_order(self):
+        r = np.random.default_rng(10)
+        N, K, D = 4, 24, 16
+        descs = np.stack([make_descriptors(r, K, D) for _ in range(N)])
+        mask = np.ones((N, K), bool)
+        plist = np.array([[2, 3], [0, 1]], np.int32)  # arbitrary order
+        idx, m, n = mt.match_pair_list(
+            jnp.asarray(descs), jnp.asarray(mask), jnp.asarray(plist),
+            ratio=0.95, max_matches=K,
+        )
+        for row, (i, j) in enumerate(plist):
+            _, _, n_ref = mt.match_pair(
+                jnp.asarray(descs[i]), jnp.asarray(mask[i]),
+                jnp.asarray(descs[j]), jnp.asarray(mask[j]),
+                ratio=0.95, max_matches=K,
+            )
+            assert int(n_ref) == int(np.asarray(n)[row])
+
+
+class TestKnnVotes:
+    def test_votes_count_cross_image_neighbours(self):
+        # 2 images x 2 features; queries of image 0 both point at image 1
+        nn_idx = np.array([[2, 3], [3, 2], [0, 1], [1, 3]], np.int32)
+        nn_dist = np.full((4, 2), 0.5, np.float32)
+        nn_dist[3, 1] = 1e18  # masked neighbour: no vote
+        image_id = np.array([0, 0, 1, 1], np.int32)
+        votes = mt.knn_votes(nn_idx, nn_dist, image_id, 2)
+        # image0->image1: 4 votes; image1->image0: q2 both cols + q3 col0 = 3
+        assert votes[0, 1] == votes[1, 0] == 4 + 3
+        assert votes[0, 0] == 0 and votes[1, 1] == 0
+
+    def test_starved_overlap_still_ranked(self):
+        """Near-duplicate descriptors: ratio test would starve, votes don't."""
+        r = np.random.default_rng(3)
+        base = make_descriptors(r, 20, 16)
+        # three images of the SAME content: every NN is cross-image identical
+        desc = np.concatenate([base, base, base])
+        ids = np.repeat(np.arange(3, dtype=np.int32), 20)
+        mask = jnp.ones(60, bool)
+        nn_idx, nn_dist = mt.global_knn(
+            jnp.asarray(desc), mask, jnp.asarray(ids), k=2, block=60
+        )
+        _, accepted = mt.global_ratio_test(nn_idx, nn_dist, ratio=0.6)
+        assert int(np.asarray(accepted).sum()) == 0  # fully starved
+        votes = mt.knn_votes(nn_idx, nn_dist, ids, 3)
+        assert (votes[np.triu_indices(3, 1)] > 0).all()
+
+
 class TestPallasMatcher:
     def test_two_nn_pallas_matches_numpy(self):
         """Pallas streaming 2-NN kernel (interpret mode) is exact."""

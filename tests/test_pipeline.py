@@ -362,6 +362,22 @@ class TestPairwiseRescue:
         assert len(res.panoramas) == 1
         assert len(res.panoramas[0]["members"]) == iset.n
 
+    def test_vote_bounded_rescue_above_max_images(self):
+        """Above pairwise_rescue_max_images the rescue re-matches only the
+        top kNN-vote candidate pairs (O(N*m)) instead of giving up — same
+        consolidation as the full-pairwise rescue on this set."""
+        iset = self._near_duplicates()
+        cfg = small_cfg()
+        cfg = cfg.replace(
+            matching=dataclasses.replace(
+                cfg.matching, pairwise_rescue_max_images=2,  # n=5 > 2
+                pairwise_rescue_m=3,
+            )
+        )
+        res = pipeline.stitch(iset, cfg)
+        assert len(res.panoramas) == 1
+        assert len(res.panoramas[0]["members"]) == iset.n
+
     def test_rescue_keeps_correct_multi_panorama_split(self):
         """Two genuinely unrelated groups: the rescue fires (discovery is
         'fragmented') but must NOT merge them or change the result."""
