@@ -237,6 +237,39 @@ def _vote_candidate_pairs(votes: np.ndarray, m: int) -> np.ndarray:
     return np.stack([iu, ju], 1).astype(np.int32)
 
 
+def _rescue_suspicious(
+    comps: np.ndarray, votes: Optional[np.ndarray], graph: "MatchGraph"
+) -> bool:
+    """True when the component split looks like ratio starvation.
+
+    Two independent signals:
+    (a) a weak shard exists — a singleton or 2-member component.
+        Starvation leaves fragments; a real multi-panorama folder splits
+        into solid groups.
+    (b) solid components whose raw kNN vote affinity ACROSS the split
+        rivals the votes along accepted pairs. Genuinely separate scenes
+        share no structure, so their cross-component votes are near the
+        random-kNN noise floor; a connected scene the ratio test cut
+        apart (e.g. a dense ring fragmenting into 3+ solid arcs) keeps
+        strong votes across the cut.
+    A false positive only costs the rescue's re-match time — the rescued
+    graph is adopted only if it connects more images."""
+    _, cnt = np.unique(comps, return_counts=True)
+    if len(cnt) <= 1:
+        return False
+    if bool((cnt <= 2).any()):
+        return True
+    if votes is None:
+        return False
+    cross = comps[:, None] != comps[None, :]
+    inter_max = int(votes[cross].max()) if cross.any() else 0
+    acc = np.asarray(graph.pairs)[np.asarray(graph.accepted, bool)]
+    if len(acc) == 0:
+        return inter_max >= 8
+    med = float(np.median(votes[acc[:, 0], acc[:, 1]]))
+    return inter_max >= max(8.0, 0.5 * med)
+
+
 def pairwise_rescue(
     feats: SiftFeatures,
     graph: "MatchGraph",
@@ -253,11 +286,11 @@ def pairwise_rescue(
     at the SAME scene point in a third image, so the pooled ratio ~1
     rejects it. The reference's only remedy is the manual
     `matchFeaturesPairwise` flag (`inputs.m:46`); this fires automatically
-    when discovery fragments SUSPICIOUSLY — a singleton or a 2-member
-    component exists (starvation leaves weak shards; a clean multi-
-    panorama split into solid >=3-view groups is left alone and pays
-    nothing) — re-matches with the per-pair matcher, and keeps whichever
-    graph connects more images. Up to pairwise_rescue_max_images every
+    when discovery fragments SUSPICIOUSLY (see `_rescue_suspicious`:
+    weak shards, or strong cross-component vote affinity — a clean
+    multi-panorama split into unrelated >=3-view groups is left alone
+    and pays nothing) — re-matches with the per-pair matcher, and keeps
+    whichever graph connects more images. Up to pairwise_rescue_max_images every
     pair is re-matched; above it the candidate set is bounded to the top
     pairwise_rescue_m kNN-vote neighbours per image plus the accepted
     pairs (O(N*m) pairs at any N; `votes` comes from
@@ -274,8 +307,7 @@ def pairwise_rescue(
     graph/comps are unchanged (adopted=False) when the rescue does not
     fire or does not improve connectivity.
     """
-    _, cnt = np.unique(comps, return_counts=True)
-    suspicious = len(cnt) > 1 and bool((cnt <= 2).any())
+    suspicious = _rescue_suspicious(comps, votes, graph)
     if not (
         cfg.matching.pairwise_rescue
         and not cfg.matching.match_pairwise

@@ -1,4 +1,5 @@
 import dataclasses
+import types
 
 import numpy as np
 import pytest
@@ -377,6 +378,35 @@ class TestPairwiseRescue:
         res = pipeline.stitch(iset, cfg)
         assert len(res.panoramas) == 1
         assert len(res.panoramas[0]["members"]) == iset.n
+
+    def test_suspicious_predicate_cross_component_votes(self):
+        """`_rescue_suspicious` must fire on solid (>=3-member) fragments
+        whose raw kNN votes stay strong ACROSS the split (a connected ring
+        cut apart by ratio starvation), and stay quiet when the split is
+        clean (cross votes at the noise floor)."""
+        comps = np.array([0, 0, 0, 1, 1, 1])
+        pairs = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+        accepted = np.array([True, True, True, True])
+        graph = types.SimpleNamespace(pairs=pairs, accepted=accepted)
+        votes = np.zeros((6, 6), np.int32)
+        for i, j in pairs:
+            votes[i, j] = votes[j, i] = 40
+        # clean split: cross-component votes at noise floor -> quiet
+        votes_clean = votes.copy()
+        votes_clean[2, 3] = votes_clean[3, 2] = 3
+        assert not pipeline._rescue_suspicious(comps, votes_clean, graph)
+        # starved split: cross votes rival accepted-pair votes -> fires
+        votes_starved = votes.copy()
+        votes_starved[2, 3] = votes_starved[3, 2] = 25
+        assert pipeline._rescue_suspicious(comps, votes_starved, graph)
+        # no votes available (cached graph): quiet on solid fragments
+        assert not pipeline._rescue_suspicious(comps, None, graph)
+        # weak shard still fires regardless of votes
+        comps_shard = np.array([0, 0, 0, 0, 0, 1])
+        assert pipeline._rescue_suspicious(comps_shard, None, graph)
+        # single component: never suspicious
+        assert not pipeline._rescue_suspicious(np.zeros(6, int), votes_starved,
+                                               graph)
 
     def test_rescue_keeps_correct_multi_panorama_split(self):
         """Two genuinely unrelated groups: the rescue fires (discovery is
