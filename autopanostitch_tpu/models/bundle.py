@@ -369,20 +369,23 @@ def stratified_subsample(
 
 def incremental_order(counts: np.ndarray, members: np.ndarray, seed: int):
     """Best-connected-first camera addition order
-    (`bundleAdjustmentRKf.m:146-177`). Returns ordered list starting at seed."""
-    n = counts.shape[0]
-    added = {seed}
+    (`bundleAdjustmentRKf.m:146-177`). Returns ordered list starting at seed.
+
+    Greedy max-connectivity-to-added-set; the running score vector is
+    updated with one counts column per addition (O(N^2) total — the naive
+    re-sum per candidate is O(N^3) host work: 22 s at N=1000, and this is
+    pure control-plane cost the device never sees). Ties break to the
+    lowest camera index (deterministic)."""
+    in_rem = np.zeros(counts.shape[0], bool)
+    in_rem[np.asarray(members, int)] = True
+    in_rem[seed] = False
+    score = counts[:, seed].astype(np.int64).copy()
     order = [seed]
-    remaining = set(int(m) for m in members) - added
-    while remaining:
-        best, best_score = None, -1
-        for c in remaining:
-            score = sum(counts[c, a] for a in added)
-            if score > best_score:
-                best, best_score = c, score
-        order.append(best)
-        added.add(best)
-        remaining.remove(best)
+    for _ in range(int(in_rem.sum())):
+        b = int(np.argmax(np.where(in_rem, score, -1)))
+        order.append(b)
+        in_rem[b] = False
+        score += counts[:, b]
     return order
 
 
@@ -762,14 +765,11 @@ def _cpinv_focal(active_orig: np.ndarray, nb: int, smooth_w: float, mean_w: floa
     lm * (I - 11^T/k) over all active focals."""
     k = len(active_orig)
     C = np.zeros((nb, nb), np.float32)
-    if smooth_w > 0:
-        for a in range(k):
-            for b in range(a + 1, k):
-                if abs(int(active_orig[a]) - int(active_orig[b])) <= 2:
-                    C[a, a] += smooth_w
-                    C[b, b] += smooth_w
-                    C[a, b] -= smooth_w
-                    C[b, a] -= smooth_w
+    if smooth_w > 0 and k > 1:
+        act = np.asarray(active_orig, np.int64)
+        near = (np.abs(act[:, None] - act[None, :]) <= 2) & ~np.eye(k, dtype=bool)
+        C[:k, :k] -= smooth_w * near
+        C[np.arange(k), np.arange(k)] += smooth_w * near.sum(1)
     if mean_w > 0 and k > 1:
         C[:k, :k] += mean_w * (np.eye(k) - 1.0 / k)
     return C

@@ -324,6 +324,63 @@ class TestBundleAdjustment:
         assert "final_cost" not in res
 
 
+class TestIncrementalOrder:
+    def test_matches_greedy_oracle(self):
+        """The O(N^2) score-update ordering must equal the naive greedy
+        re-sum oracle (ties broken to the lowest index in both)."""
+        r = np.random.default_rng(3)
+        for n in (2, 5, 17, 40):
+            counts = r.integers(0, 50, (n, n))
+            counts = np.triu(counts, 1)
+            counts = counts + counts.T
+            seed = int(r.integers(0, n))
+            got = bundle.incremental_order(counts, np.arange(n), seed)
+            # oracle: naive greedy, first-max (lowest index) on ties
+            added, order = [seed], [seed]
+            remaining = [c for c in range(n) if c != seed]
+            while remaining:
+                scores = [sum(int(counts[c, a]) for a in added) for c in remaining]
+                b = remaining[int(np.argmax(scores))]
+                order.append(b)
+                added.append(b)
+                remaining.remove(b)
+            assert got == order
+
+    def test_cpinv_focal_matches_loop_oracle(self):
+        """Vectorized focal-coupling block equals the per-pair loop form
+        (`buildBrownLowePrior`, bundleAdjustmentRKf.m:1560-1637)."""
+        r = np.random.default_rng(5)
+        for k, nb in ((1, 8), (4, 8), (9, 16)):
+            act = np.sort(r.choice(40, k, replace=False))
+            sw, mw = 2.5, 0.7
+            got = bundle._cpinv_focal(act, nb, sw, mw)
+            C = np.zeros((nb, nb), np.float32)
+            for a in range(k):
+                for b in range(a + 1, k):
+                    if abs(int(act[a]) - int(act[b])) <= 2:
+                        C[a, a] += sw
+                        C[b, b] += sw
+                        C[a, b] -= sw
+                        C[b, a] -= sw
+            if k > 1:
+                C[:k, :k] += mw * (np.eye(k) - 1.0 / k)
+            np.testing.assert_allclose(got, C, atol=1e-5)
+
+    def test_scales_to_1000(self):
+        """O(N^3) host greedy cost 22 s at N=1000; the vectorized form
+        must stay sub-second."""
+        import time
+
+        r = np.random.default_rng(4)
+        counts = r.integers(0, 30, (1000, 1000))
+        counts = np.triu(counts, 1)
+        counts = counts + counts.T
+        t0 = time.time()
+        order = bundle.incremental_order(counts, np.arange(1000), 0)
+        assert time.time() - t0 < 1.0
+        assert sorted(order) == list(range(1000))
+
+
 class TestStratifiedSubsample:
     def _clustered_pts(self):
         rng = np.random.default_rng(0)
