@@ -36,14 +36,21 @@ class DetectorConfig:
     descriptor_width: int = 4  # 4x4 spatial bins
     descriptor_bins: int = 8  # 8 orientation bins -> 128-d
     # run octave -1 (2x upsampled base). The reference's detectSIFTFeatures
-    # (OpenCV/VLFeat lineage) always upsamples; None = auto — upsample only
-    # when the largest valid image dimension is below `upsample_below` px,
-    # where the extra octave is what makes small real photos (capture-rig
-    # thumbnails, low-res sets) yield enough keypoints to verify, while
-    # 800px-limit inputs keep the cheaper non-upsampled path (measured
-    # equal acceptance on 800px sets, ~4x extraction cost if upsampled).
+    # (OpenCV/VLFeat lineage) always upsamples; None = auto — one 2x level
+    # (octave -1) when the largest valid image dimension is below
+    # `upsample_below` px, and a SECOND level (octave -2) below
+    # `upsample_second_below` px. The extra octaves are what make small
+    # real photos (capture-rig thumbnails, low-res sets) yield enough
+    # keypoints to verify — measured on the reference's Rio sheet (56 real
+    # ~78 px photos): one level connects 41/56 images, two levels 52/56 —
+    # while 800px-limit inputs keep the cheaper non-upsampled path
+    # (measured equal acceptance on 800px sets, ~4x extraction cost per
+    # level if upsampled). The second level is reserved for the
+    # thumbnail regime: it costs 4x the first, and at >=100 px one level
+    # already resolves the verification-limiting scales.
     upsample_input: Optional[bool] = None
     upsample_below: int = 300
+    upsample_second_below: int = 100
 
 
 @_frozen

@@ -58,14 +58,24 @@ def _to_float_any(raw: jax.Array) -> jax.Array:
     return raw
 
 
-def should_upsample(cfg: DetectorConfig, sizes) -> bool:
-    """Resolve the upsample_input tri-state: None = auto (upsample when the
-    largest valid image dimension is under cfg.upsample_below px — the
-    regime where the reference's always-upsampling detectSIFTFeatures
-    materially out-detects a non-upsampled pyramid)."""
+def upsample_levels(cfg: DetectorConfig, sizes) -> int:
+    """Resolve the upsample_input tri-state into a number of 2x upsample
+    levels (Lowe octave -1, -2). None = auto: one level when the largest
+    valid image dimension is under cfg.upsample_below px — the regime
+    where the reference's always-upsampling detectSIFTFeatures materially
+    out-detects a non-upsampled pyramid — and a second level under
+    cfg.upsample_second_below px (the thumbnail regime): measured on the
+    reference's Rio sheet (56 real 78 px photos), one level connects
+    41/56 images, two levels 52/56 (accepted pairs 49 -> 97) —
+    scale-space resolution, not matching, is the binding constraint.
+    The second level costs 4x the first, so it is reserved for inputs
+    where one level still leaves the detection grid under ~200 px."""
     if cfg.upsample_input is not None:
-        return bool(cfg.upsample_input)
-    return int(np.asarray(sizes).max()) < int(cfg.upsample_below)
+        return 1 if cfg.upsample_input else 0
+    maxdim = int(np.asarray(sizes).max())
+    if maxdim < int(cfg.upsample_second_below):
+        return 2
+    return 1 if maxdim < int(cfg.upsample_below) else 0
 
 
 def extract_features(
@@ -85,14 +95,17 @@ def extract_features(
     gray = sift.rgb_to_gray(images)
     det = cfg.detector.upper()
     scale_back = 1.0
-    if should_upsample(cfg, sizes):
-        # Lowe's octave -1: detect on the 2x linearly-upsampled image
-        # (doubles the smallest resolvable scale; keypoint coordinates and
-        # scales are mapped back to input pixels below)
+    levels = upsample_levels(cfg, sizes)
+    if levels:
+        # Lowe's octave -1 (and -2 for ultra-small inputs): detect on the
+        # 2^levels linearly-upsampled image (halves the smallest resolvable
+        # scale per level; keypoint coordinates and scales are mapped back
+        # to input pixels below)
         N, H, W = gray.shape
-        gray = jax.image.resize(gray, (N, 2 * H, 2 * W), "linear")
-        sizes = np.asarray(sizes) * 2
-        scale_back = 0.5
+        s = 1 << levels
+        gray = jax.image.resize(gray, (N, s * H, s * W), "linear")
+        sizes = np.asarray(sizes) * s
+        scale_back = 1.0 / s
     if det in ("HARRIS", "FAST", "ORB", "BRISK"):
         from autopanostitch_tpu.ops import corners
 

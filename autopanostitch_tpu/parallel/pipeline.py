@@ -68,11 +68,13 @@ def stitch_multichip(
     gray = sift.rgb_to_gray(images)
     sizes_det = np.asarray(image_set.sizes)
     scale_back = 1.0
-    if features_stage.should_upsample(cfg.detector, sizes_det):  # Lowe octave -1
+    levels = features_stage.upsample_levels(cfg.detector, sizes_det)
+    if levels:  # Lowe octave -1 / -2
         N_, H_, W_ = gray.shape
-        gray = jax.image.resize(gray, (N_, 2 * H_, 2 * W_), "linear")
-        sizes_det = sizes_det * 2
-        scale_back = 0.5
+        s_ = 1 << levels
+        gray = jax.image.resize(gray, (N_, s_ * H_, s_ * W_), "linear")
+        sizes_det = sizes_det * s_
+        scale_back = 1.0 / s_
     N = image_set.n
     pad = (-N) % n_dev
     gray_p = jnp.pad(gray, ((0, pad), (0, 0), (0, 0)))

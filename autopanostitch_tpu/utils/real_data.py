@@ -62,7 +62,11 @@ def load_montage_tiles(
     for r in range(rows):
         for c in range(cols):
             t = im[ys[r] : ys[r + 1], xs[c] : xs[c + 1]]
-            if trim_blank and t.min() > 240:  # unfilled white slot
+            # Unfilled white slot. The mean test also drops slots that are
+            # blank except for a sliver of a neighbouring photo bleeding
+            # across the grid line (rio/yellowstone each have one at mean
+            # ~254; every real photograph across all six sheets is < 200).
+            if trim_blank and t.mean() > 240:
                 continue
             tiles.append(t)
     return tiles

@@ -200,9 +200,10 @@ def _bench_yellowstone(pipeline, StitchConfig, out):
 
     from autopanostitch_tpu.utils import real_data
 
-    # Yellowstone sheet: a 2-ROW capture rig of 23 real photos — the 2-D
-    # match-graph + multi-row renderer proof on real data (measured r3:
-    # ONE 22-photo panorama)
+    # Yellowstone sheet: a 2-ROW capture rig of 22 real photos (the sheet's
+    # 23rd slot is a blank slice, trimmed) — the 2-D match-graph +
+    # multi-row renderer proof on real data (measured r3: ONE panorama
+    # from all 22)
     cfg0 = StitchConfig()
     cfg0 = cfg0.replace(matching=dataclasses.replace(
         cfg0.matching, second_pass=False))

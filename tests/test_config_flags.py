@@ -132,6 +132,41 @@ class TestDetectorFlags:
         xy = np.asarray(f1.xy)[np.asarray(f1.mask)]
         assert xy[:, 0].max() <= 200 and xy[:, 1].max() <= 160
 
+    def test_upsample_levels_auto(self):
+        # auto mode: one level under upsample_below, two under
+        # upsample_second_below (the thumbnail regime)
+        auto = DetectorConfig()  # upsample_below=300, second_below=100
+        assert features_stage.upsample_levels(auto, [[800, 600]]) == 0
+        assert features_stage.upsample_levels(auto, [[200, 160]]) == 1
+        assert features_stage.upsample_levels(auto, [[128, 96]]) == 1
+        assert features_stage.upsample_levels(auto, [[78, 79]]) == 2
+        # explicit tri-state still maps to 0/1 levels
+        on = DetectorConfig(upsample_input=True)
+        off = DetectorConfig(upsample_input=False)
+        assert features_stage.upsample_levels(on, [[78, 79]]) == 1
+        assert features_stage.upsample_levels(off, [[78, 79]]) == 0
+
+    def test_two_level_upsample_outdetects_one_on_thumbnails(self):
+        # ~80 px thumbnail regime (the reference Rio sheet): octave -2
+        # resolves structure one level cannot (measured on real data:
+        # 41/56 -> 52/56 images connected; see models/features.py).
+        # Like real thumbnails, the input is a downsampled photo — a
+        # native-80px noise texture has no sub-pixel detail to recover.
+        hi = synthdata.texture(9, 320, 320)
+        env = hi.reshape(80, 4, 80, 4, 3).mean(axis=(1, 3)).astype(np.float32)
+        stack = env[None]
+        sizes = np.array([[80, 80]], np.int32)
+        one = DetectorConfig(max_keypoints=1024, num_octaves=3, upsample_input=True)
+        two = DetectorConfig(max_keypoints=1024, num_octaves=3)  # auto -> 2
+        assert features_stage.upsample_levels(two, sizes) == 2
+        f1 = features_stage.extract_features(jnp.asarray(stack), sizes, one)
+        f2 = features_stage.extract_features(jnp.asarray(stack), sizes, two)
+        n1 = int(np.asarray(f1.mask).sum())
+        n2 = int(np.asarray(f2.mask).sum())
+        assert n2 > n1
+        xy = np.asarray(f2.xy)[np.asarray(f2.mask)]
+        assert xy.max() <= 80  # mapped back to input pixels
+
 
 class TestRenderFlags:
     def _cams(self, n=4, f=300.0):

@@ -21,6 +21,7 @@ import numpy as np
 import pytest
 
 from autopanostitch_tpu.config import StitchConfig
+from autopanostitch_tpu.models import features as features_stage
 from autopanostitch_tpu.models import pipeline
 from autopanostitch_tpu.utils import perturb, real_data
 
@@ -83,12 +84,27 @@ class TestMontageDatasets:
 
     def test_all_sheets_slice(self):
         expected = {
-            "CMU0": 38, "grandcanyon": 35, "rio": 57,
-            "shanghai": 30, "ucsb4": 14, "yellowstone": 23,
+            "CMU0": 38, "grandcanyon": 35, "rio": 56,
+            "shanghai": 30, "ucsb4": 14, "yellowstone": 22,
         }
         for name, n in expected.items():
             tiles = real_data.load_montage_tiles(name)
             assert len(tiles) == n, (name, len(tiles))
+
+    def test_rio_thumbnail_group_single_panorama(self):
+        """Six real Rio thumbnails (78 px — the smallest real photos in the
+        reference's sample sheets): two-level auto upsampling (Lowe octave
+        -2, models/features.py upsample_levels) must recover enough
+        scale-space for them to verify into ONE panorama. With one level
+        the full sheet connects only 41/56; with two, 52/56."""
+        tiles = real_data.load_montage_tiles("rio")
+        group = [1, 2, 3, 4, 5, 6]
+        iset = real_data.image_set_from_arrays([tiles[i] for i in group], 800, 800)
+        assert features_stage.upsample_levels(StitchConfig().detector, iset.sizes) == 2
+        res = pipeline.stitch(iset, StitchConfig())
+        assert len(res.panoramas) == 1
+        assert len(res.panoramas[0]["members"]) == 6
+        assert int(np.asarray(res.graph.accepted).sum()) >= 5
 
     def test_cmu0_group_single_panorama(self):
         """Six real CMU0 photographs known to overlap (one building sweep):
