@@ -157,6 +157,11 @@ class BundleConfig:
     focal_clamp: Tuple[float, float] = (100.0, 5000.0)
     max_rotation_step_deg: float = 5.0
     focal_step_fracs: Tuple[float, float, float] = (0.005, 0.01, 0.02)
+    # Estimate per-camera radial distortion k1 jointly with R, f (a 5th
+    # BA parameter; see models/bundle.Cameras.k1). Beyond the reference:
+    # without it a barrel lens biases f (the sweep's dominant artifact
+    # class — near-360 arcs whose ends collide). Off = reference model.
+    estimate_distortion: bool = False
     # homography-BA (planar path) options, `bundleAdjustmentH.m`:
     # L2 penalty on the projective row H31/H32 (RegProj, default 1e-4,
     # parseOpts :997) and on log|det| of the top-left 2x2 (RegDet, :30,

@@ -25,7 +25,8 @@ def bright_colors(n: int, seed: int = 0) -> np.ndarray:
 
 
 def warped_boxes_rotational(canvas: dict, R: np.ndarray, K: np.ndarray,
-                            sizes: np.ndarray, n_boundary: int = 64):
+                            sizes: np.ndarray, n_boundary: int = 64,
+                            k1: np.ndarray | None = None):
     """Project each image's boundary onto the panorama surface.
 
     Returns list of (n_pts, 2) float arrays in canvas pixel coords (NaN
@@ -44,6 +45,8 @@ def warped_boxes_rotational(canvas: dict, R: np.ndarray, K: np.ndarray,
         d = proj.camera_pixel_rays(
             geo.invert_K(jnp.asarray(K[k])), jnp.asarray(R[k]),
             jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32),
+            k1=None if k1 is None else float(k1[k]),
+            cx=float(K[k][0, 2]), cy=float(K[k][1, 2]),
         )
         d = proj.normalize_rays(d)
         u, v, valid = proj.ray_to_pano(mode, d, R_ref)

@@ -47,14 +47,32 @@ Array = jax.Array
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Radial-distortion (k1) estimation constants — k1 is in half-diagonal-
+# normalized units (consumer lenses: |k1| ~ 0.01-0.1). Prior/coupling damp
+# the STEP like the Brown-Lowe theta/f priors, they are not objective terms.
+_K1_PRIOR_SIGMA = 0.05  # prior to 0: keeps k1 quiet when unconstrained
+_K1_MEAN_WEIGHT = 1.0e4  # same-lens coupling (damps k1 steps that differ)
+_K1_STEP_CAP = 0.02  # per-iteration |delta k1| cap (capPerCameraStep analog)
+_K1_CLAMP = 0.25  # hard clamp, like the focal clamp [100, 5000]
+
 
 class Cameras(NamedTuple):
-    """Camera set (reference `cameras(i)` struct, `bundleAdjustmentRKf.m:34-41`)."""
+    """Camera set (reference `cameras(i)` struct, `bundleAdjustmentRKf.m:34-41`).
+
+    `k1` is a capability the reference does NOT have: per-camera Brown
+    radial distortion (r normalized by the half-diagonal), estimated
+    jointly with R and f when `BundleConfig.estimate_distortion` is on.
+    Without a distortion model, a barrel lens biases the focal estimate
+    (peripheral matches sit compressed), which on near-360 arcs turns into
+    an arc-length error whose ends collide on the canvas — the dominant
+    artifact class in the robustness sweep. None = pinhole (reference
+    behavior, bit-identical paths)."""
 
     R: Array  # (N, 3, 3) world -> camera
     f: Array  # (N,)
     cx: Array  # (N,)
     cy: Array  # (N,)
+    k1: Array | None = None  # (N,) radial distortion, or None = pinhole
 
     def K(self) -> Array:
         return geo.build_K(self.f, self.cx, self.cy)
@@ -403,6 +421,21 @@ class BAData(NamedTuple):
     pair_valid: Array  # (P,) bool
 
 
+def _undistort_point(u, k1, cx, cy):
+    """Distorted-image pixel -> pinhole pixel, Brown one-term model.
+
+    The distorted image shows, at pixel p, the pinhole content at
+    p*(1 + k1*r^2) with r = |p - c| / half-diagonal (the same forward map
+    as `utils.perturb.radial_distort`). Exact, no iteration — this is the
+    direction BA needs: observations move INTO pinhole space, where the
+    rotation+focal projection model is valid."""
+    dx = u[0] - cx
+    dy = u[1] - cy
+    r2 = (dx * dx + dy * dy) / (cx * cx + cy * cy + 1e-12)
+    fac = 1.0 + k1 * r2
+    return jnp.stack([cx + dx * fac, cy + dy * fac])
+
+
 def _project(params_src, params_dst, Rb_s, Rb_d, cx_s, cy_s, cx_d, cy_d, u_src):
     """Map a point of the source camera into the destination camera.
 
@@ -420,6 +453,8 @@ def _project(params_src, params_dst, Rb_s, Rb_d, cx_s, cy_s, cx_d, cy_d, u_src):
     R_d = jnp.matmul(geo.so3_exp(params_dst[:3]), Rb_d, precision=_HI)
     f_s = params_src[3]
     f_d = params_dst[3]
+    if params_src.shape[0] > 4:  # optional 5th param: radial distortion
+        u_src = _undistort_point(u_src, params_src[4], cx_s, cy_s)
     x = (u_src[0] - cx_s) / f_s
     y = (u_src[1] - cy_s) / f_s
     ray = jnp.stack([x, y, 1.0])
@@ -435,9 +470,16 @@ def _project(params_src, params_dst, Rb_s, Rb_d, cx_s, cy_s, cx_d, cy_d, u_src):
 def _pair_residual(p_i, p_j, Rb_i, Rb_j, cx_i, cy_i, cx_j, cy_j, u_i, u_j):
     """Bidirectional residual of one match (Brown-Lowe Eq. 14/15, both
     directions as in `jacobianPair`, `bundleAdjustmentRKf.m:793-899`).
-    Returns (4,) [r_ij (2), r_ji (2)] and the two depths."""
+    Returns (4,) [r_ij (2), r_ji (2)] and the two depths.
+
+    With 5-param cameras the residual lives in PINHOLE space: both the
+    projected source point (inside `_project`) and the destination
+    observation are undistorted by the cameras' k1 first."""
     pred_j, z_j = _project(p_i, p_j, Rb_i, Rb_j, cx_i, cy_i, cx_j, cy_j, u_i)
     pred_i, z_i = _project(p_j, p_i, Rb_j, Rb_i, cx_j, cy_j, cx_i, cy_i, u_j)
+    if p_i.shape[0] > 4:
+        u_j = _undistort_point(u_j, p_j[4], cx_j, cy_j)
+        u_i = _undistort_point(u_i, p_i[4], cx_i, cy_i)
     r = jnp.concatenate([u_j - pred_j, u_i - pred_i])
     return r, jnp.stack([z_j, z_i])
 
@@ -465,12 +507,12 @@ def _huber_w(r2: Array, sigma: float) -> Array:
 
 @partial(
     jax.jit,
-    static_argnames=("nb", "pb", "iters", "sigma", "f_lo", "f_hi",
+    static_argnames=("nb", "pb", "iters", "pd", "sigma", "f_lo", "f_hi",
                      "theta_prior", "focal_prior_frac", "max_rot_deg",
                      "one_direction"),
 )
 def lm_phase_group(
-    R_full, f_full, cx_full, cy_full, data,
+    R_full, f_full, k1_full, cx_full, cy_full, data,
     cam_take_g,  # (G, nb) int32
     cam_ok_g,  # (G, nb) bool
     pair_take_g,  # (G, pb) int32
@@ -483,6 +525,7 @@ def lm_phase_group(
     nb: int,
     pb: int,
     iters: int,
+    pd: int = 4,
     **static,
 ):
     """A GROUP of same-shape LM phases as one executable (lax.scan).
@@ -491,29 +534,34 @@ def lm_phase_group(
     (nb, pb) shapes; dispatching each phase separately paid one relay
     round-trip per phase (~30 ms x 15 phases dominated BA wall time on
     this harness: 0.09 s of device compute inside 0.73 s of wall).
-    Returns (R_full, f_full, costs (G,), naccs (G,))."""
+
+    pd = per-camera parameter count: 4 = [theta(3), f] (reference model),
+    5 adds radial distortion k1 (see Cameras.k1).
+    Returns (R_full, f_full, k1_full, costs (G,), naccs (G,))."""
     with jax.default_matmul_precision("highest"):
 
         def body(carry, xs):
-            Rf, ff = carry
+            Rf, ff, kf = carry
             ct, co, pt, pij, po, cp, sl, frac = xs
-            Rf, ff, _, cost, nacc = _lm_phase_body(
-                Rf, ff, cx_full, cy_full, data, ct, co, pt, pij, po, cp, sl,
-                lam0, nb=nb, pb=pb, iters=iters, focal_frac=frac, **static,
+            Rf, ff, kf, _, cost, nacc = _lm_phase_body(
+                Rf, ff, kf, cx_full, cy_full, data, ct, co, pt, pij, po,
+                cp, sl, lam0, nb=nb, pb=pb, iters=iters, pd=pd,
+                focal_frac=frac, **static,
             )
-            return (Rf, ff), (cost, nacc)
+            return (Rf, ff, kf), (cost, nacc)
 
-        (R_full, f_full), (costs, naccs) = jax.lax.scan(
-            body, (R_full, f_full),
+        (R_full, f_full, k1_full), (costs, naccs) = jax.lax.scan(
+            body, (R_full, f_full, k1_full),
             (cam_take_g, cam_ok_g, pair_take_g, pair_ij_g, pair_ok_g,
              cpinv_g, seed_g, focal_frac_g),
         )
-    return R_full, f_full, costs, naccs
+    return R_full, f_full, k1_full, costs, naccs
 
 
 def _lm_phase_body(
     R_full: Array,  # (N, 3, 3) world->cam rotations — ALL component cameras
     f_full: Array,  # (N,) focals
+    k1_full: Array,  # (N,) radial distortion (ignored unless pd == 5)
     cx_full: Array,  # (N,)
     cy_full: Array,  # (N,)
     data: BAData,  # full pair data, device-resident (uploaded once)
@@ -529,6 +577,7 @@ def _lm_phase_body(
     pb: int,
     iters: int,
     focal_frac: float,
+    pd: int = 4,
     sigma: float = 2.0,
     f_lo: float = 100.0,
     f_hi: float = 5000.0,
@@ -565,11 +614,19 @@ def _lm_phase_body(
     - Jacobians are NOT recomputed on rejected steps (lax.cond keeps the
       current linearization), halving the cost of reject-heavy phases.
 
-    Returns (R_full, f_full with active rows updated, lam, cost, n_accepts).
+    With pd = 5 each camera carries [theta(3), f, k1]; k1 joins the dense
+    system like any other parameter (autodiff Jacobians), with a prior to
+    0 and an in-jit mean-coupling across the active cameras (same-lens
+    assumption, built like the focal-mean coupling but needing no host
+    data: I - 11^T/k over active k1 slots).
+
+    Returns (R_full, f_full, k1_full with active rows updated, lam, cost,
+    n_accepts).
     """
     f32 = f_full.dtype
     Rb0 = R_full[cam_take]  # (nb, 3, 3) base rotations
     f0 = f_full[cam_take]  # (nb,)
+    k10 = k1_full[cam_take]  # (nb,)
     cx = cx_full[cam_take]
     cy = cy_full[cam_take]
     u_i = data.u_i[pair_take]  # (pb, M, 2)
@@ -577,10 +634,10 @@ def _lm_phase_body(
     w_m = data.w[pair_take] * (data.pair_valid[pair_take] & pair_ok)[:, None]
 
     jac_fn = jax.vmap(  # over matches
-        jax.jacrev(  # 4 residual outputs vs 8 params: reverse mode is 2x
-            # cheaper than jacfwd's 8 tangent passes
+        jax.jacrev(  # 4 residual outputs vs 2*pd params: reverse mode is
+            # 2x cheaper than jacfwd's 2*pd tangent passes
             lambda pp, Rbi, Rbj, cxi, cyi, cxj, cyj, ui, uj: _pair_residual(
-                pp[:4], pp[4:], Rbi, Rbj, cxi, cyi, cxj, cyj, ui, uj
+                pp[:pd], pp[pd:], Rbi, Rbj, cxi, cyi, cxj, cyj, ui, uj
             )[0],
         ),
         in_axes=(None, None, None, None, None, None, None, 0, 0),
@@ -600,16 +657,22 @@ def _lm_phase_body(
 
     zero3 = jnp.zeros(3, f32)
 
-    def pair_system(Rb, f, p):
-        """8x8 JtJ block, (8,) Jtg, and robust cost for pair p, linearized
-        at theta = 0 around the base rotations."""
+    def cam_params(f, k1, i):
+        """Per-camera parameter vector [theta=0 (3), f(, k1)]."""
+        if pd == 5:
+            return jnp.concatenate([zero3, f[i][None], k1[i][None]])
+        return jnp.concatenate([zero3, f[i][None]])
+
+    def pair_system(Rb, f, k1, p):
+        """(2pd x 2pd) JtJ block, (2pd,) Jtg, and robust cost for pair p,
+        linearized at theta = 0 around the base rotations."""
         i = pair_ij_local[p, 0]
         j = pair_ij_local[p, 1]
-        p_i = jnp.concatenate([zero3, f[i][None]])
-        p_j = jnp.concatenate([zero3, f[j][None]])
+        p_i = cam_params(f, k1, i)
+        p_j = cam_params(f, k1, j)
         pp = jnp.concatenate([p_i, p_j])
         r, z = res_fn(p_i, p_j, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])
-        J = jac_fn(pp, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])  # (M, 4, 8)
+        J = jac_fn(pp, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])  # (M, 4, 2pd)
         w4 = pair_weights(r, z, w_m[p])
         Jw = J * w4[:, :, None]
         JtJ = jnp.einsum("mab,mac->bc", Jw, J, precision=_HI)
@@ -617,45 +680,47 @@ def _lm_phase_body(
         cost = jnp.sum(w4 * r * r)
         return JtJ, Jtg, cost
 
-    def pair_cost(Rb, f, p):
+    def pair_cost(Rb, f, k1, p):
         """Robust cost of one pair — residuals only, no Jacobians (used for
         the LM accept test; linearizing the candidate would double BA time)."""
         i = pair_ij_local[p, 0]
         j = pair_ij_local[p, 1]
-        p_i = jnp.concatenate([zero3, f[i][None]])
-        p_j = jnp.concatenate([zero3, f[j][None]])
+        p_i = cam_params(f, k1, i)
+        p_j = cam_params(f, k1, j)
         r, z = res_fn(p_i, p_j, Rb[i], Rb[j], cx[i], cy[i], cx[j], cy[j], u_i[p], u_j[p])
         w4 = pair_weights(r, z, w_m[p])
         return jnp.sum(w4 * r * r)
 
-    def build_cost(Rb, f):
-        return jnp.sum(jax.vmap(lambda p: pair_cost(Rb, f, p))(jnp.arange(pb)))
+    def build_cost(Rb, f, k1):
+        return jnp.sum(
+            jax.vmap(lambda p: pair_cost(Rb, f, k1, p))(jnp.arange(pb))
+        )
 
-    def build_normal_eqns(Rb, f):
-        JtJ_p, Jtg_p, cost_p = jax.vmap(lambda p: pair_system(Rb, f, p))(
+    def build_normal_eqns(Rb, f, k1):
+        JtJ_p, Jtg_p, cost_p = jax.vmap(lambda p: pair_system(Rb, f, k1, p))(
             jnp.arange(pb)
         )
         cost = jnp.sum(cost_p)
 
-        H = jnp.zeros((4 * nb, 4 * nb), f32)
-        g = jnp.zeros((4 * nb,), f32)
+        H = jnp.zeros((pd * nb, pd * nb), f32)
+        g = jnp.zeros((pd * nb,), f32)
         idx_i = pair_ij_local[:, 0]
         idx_j = pair_ij_local[:, 1]
 
-        # scatter-add the four 4x4 blocks of each pair
+        # scatter-add the four pd x pd blocks of each pair
         def scatter(H, rows, cols, vals):
-            return H.at[rows[:, None, None] * 4 + jnp.arange(4)[None, :, None],
-                        cols[:, None, None] * 4 + jnp.arange(4)[None, None, :]].add(vals)
+            return H.at[rows[:, None, None] * pd + jnp.arange(pd)[None, :, None],
+                        cols[:, None, None] * pd + jnp.arange(pd)[None, None, :]].add(vals)
 
-        H = scatter(H, idx_i, idx_i, JtJ_p[:, :4, :4])
-        H = scatter(H, idx_i, idx_j, JtJ_p[:, :4, 4:])
-        H = scatter(H, idx_j, idx_i, JtJ_p[:, 4:, :4])
-        H = scatter(H, idx_j, idx_j, JtJ_p[:, 4:, 4:])
-        g = g.at[(idx_i[:, None] * 4 + jnp.arange(4)[None, :]).reshape(-1)].add(
-            Jtg_p[:, :4].reshape(-1)
+        H = scatter(H, idx_i, idx_i, JtJ_p[:, :pd, :pd])
+        H = scatter(H, idx_i, idx_j, JtJ_p[:, :pd, pd:])
+        H = scatter(H, idx_j, idx_i, JtJ_p[:, pd:, :pd])
+        H = scatter(H, idx_j, idx_j, JtJ_p[:, pd:, pd:])
+        g = g.at[(idx_i[:, None] * pd + jnp.arange(pd)[None, :]).reshape(-1)].add(
+            Jtg_p[:, :pd].reshape(-1)
         )
-        g = g.at[(idx_j[:, None] * 4 + jnp.arange(4)[None, :]).reshape(-1)].add(
-            Jtg_p[:, 4:].reshape(-1)
+        g = g.at[(idx_j[:, None] * pd + jnp.arange(pd)[None, :]).reshape(-1)].add(
+            Jtg_p[:, pd:].reshape(-1)
         )
         return H, g, cost
 
@@ -664,21 +729,36 @@ def _lm_phase_body(
     fbar = jnp.sum(f0 * okf) / jnp.maximum(jnp.sum(okf), 1.0)
     theta_prior_w = 1.0 / (theta_prior**2)
     f_prior_w = 1.0 / ((fbar / focal_prior_frac) ** 2 + 1e-12)
-    prior_diag = jnp.tile(jnp.array([theta_prior_w] * 3 + [0.0], f32), nb)
-    prior_diag = prior_diag + jnp.tile(jnp.array([0.0] * 3 + [1.0], f32), nb) * f_prior_w
+    pat_theta = [theta_prior_w] * 3 + [0.0] * (pd - 3)
+    pat_f = [0.0] * 3 + [1.0] + [0.0] * (pd - 4)
+    prior_diag = jnp.tile(jnp.array(pat_theta, f32), nb)
+    prior_diag = prior_diag + jnp.tile(jnp.array(pat_f, f32), nb) * f_prior_w
+    if pd == 5:
+        # k1 prior to 0 (sigma 0.05 in half-diagonal-normalized units)
+        pat_k1 = [0.0] * 4 + [1.0 / _K1_PRIOR_SIGMA**2]
+        prior_diag = prior_diag + jnp.tile(jnp.array(pat_k1, f32), nb)
     cp_full = jnp.diag(prior_diag)
-    cp_full = cp_full.at[3::4, 3::4].add(cpinv_f)  # smoothness + mean coupling
+    cp_full = cp_full.at[3::pd, 3::pd].add(cpinv_f)  # smoothness + mean coupling
+    if pd == 5:
+        # same-lens coupling: damp k1 steps that DIFFER across the active
+        # cameras (mean coupling I - 11^T/k, like the focal one but
+        # derivable in-jit from cam_ok — no host data needed)
+        kact = jnp.maximum(jnp.sum(okf), 1.0)
+        cp_k1 = _K1_MEAN_WEIGHT * (
+            jnp.diag(okf) - jnp.outer(okf, okf) / kact
+        )
+        cp_full = cp_full.at[4::pd, 4::pd].add(cp_k1)
 
-    col_mask = jnp.repeat(okf, 4)
+    col_mask = jnp.repeat(okf, pd)
     # gauge: pin the seed camera's rotation (3 params)
-    seed_cols = seed_local * 4 + jnp.arange(3)
+    seed_cols = seed_local * pd + jnp.arange(3)
     col_mask = col_mask.at[seed_cols].set(0.0)
     cp_full = cp_full * col_mask[:, None] * col_mask[None, :]
 
     max_rot = jnp.radians(max_rot_deg)
 
     def lm_iter(carry, _):
-        Rb, f, lam, H, g, cost = carry
+        Rb, f, k1, lam, H, g, cost = carry
         Hm = H * col_mask[:, None] * col_mask[None, :]
         gm = g * col_mask
         damp = jnp.diag(Hm) + 1e-6
@@ -690,7 +770,7 @@ def _lm_phase_body(
         # NaN guard: an indefinite system yields a non-finite step -> zero
         # step -> reject -> lambda x4 (the solver-robustness fallback)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
-        delta = delta.reshape(nb, 4)
+        delta = delta.reshape(nb, pd)
         # per-camera caps (capPerCameraStep, :984-1045)
         rot_norm = jnp.linalg.norm(delta[:, :3], axis=-1)
         rot_scale = jnp.minimum(1.0, max_rot / jnp.maximum(rot_norm, 1e-12))
@@ -698,11 +778,19 @@ def _lm_phase_body(
         f_scale = jnp.minimum(1.0, f_cap / jnp.maximum(jnp.abs(delta[:, 3]), 1e-12))
         dtheta = delta[:, :3] * rot_scale[:, None]
         df = delta[:, 3] * f_scale
+        parts = [dtheta, df[:, None]]
+        if pd == 5:
+            k1_scale = jnp.minimum(
+                1.0,
+                _K1_STEP_CAP / jnp.maximum(jnp.abs(delta[:, 4]), 1e-12),
+            )
+            dk1 = delta[:, 4] * k1_scale
+            parts.append(dk1[:, None])
         # the gain ratio must be computed for the step actually TAKEN —
         # the capped one (the uncapped solver step would overestimate pred
         # whenever a rotation/focal cap binds, corrupting the lambda
         # schedule in exactly the hard early phases where caps engage)
-        d_flat = jnp.concatenate([dtheta, df[:, None]], axis=1).reshape(-1)
+        d_flat = jnp.concatenate(parts, axis=1).reshape(-1)
 
         # candidate update: left-multiplicative SO(3) on the base rotation
         # (theta stays at 0 — the log map never runs), clamp f
@@ -710,8 +798,13 @@ def _lm_phase_body(
         f_cand = jnp.clip(f + df, f_lo, f_hi)
         Rb_cand = jnp.where(cam_ok[:, None, None], Rb_cand, Rb)
         f_cand = jnp.where(cam_ok, f_cand, f)
+        if pd == 5:
+            k1_cand = jnp.clip(k1 + dk1, -_K1_CLAMP, _K1_CLAMP)
+            k1_cand = jnp.where(cam_ok, k1_cand, k1)
+        else:
+            k1_cand = k1
 
-        cost_new = build_cost(Rb_cand, f_cand)
+        cost_new = build_cost(Rb_cand, f_cand, k1_cand)
         # gain-ratio lambda schedule (:557-597) with the prior in the
         # predicted reduction like the reference
         # (pred = 0.5 delta^T (lam*D delta - g + CpInv delta), :557)
@@ -724,6 +817,7 @@ def _lm_phase_body(
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
         Rb = jnp.where(accept, Rb_cand, Rb)
         f = jnp.where(accept, f_cand, f)
+        k1 = jnp.where(accept, k1_cand, k1)
         lam = jnp.where(
             accept,
             lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
@@ -735,20 +829,22 @@ def _lm_phase_body(
             accept,
             lambda Rf: build_normal_eqns(*Rf),
             lambda Rf: (H, g, cost),
-            (Rb, f),
+            (Rb, f, k1),
         )
-        return (Rb, f, lam, H, g, cost), accept
+        return (Rb, f, k1, lam, H, g, cost), accept
 
-    H0, g0, cost0 = build_normal_eqns(Rb0, f0)
-    (Rb, f, lam, _, _, cost), accepts = jax.lax.scan(
-        lm_iter, (Rb0, f0, lam, H0, g0, cost0), None, length=iters
+    H0, g0, cost0 = build_normal_eqns(Rb0, f0, k10)
+    (Rb, f, k1, lam, _, _, cost), accepts = jax.lax.scan(
+        lm_iter, (Rb0, f0, k10, lam, H0, g0, cost0), None, length=iters
     )
     # scatter active rows back (add-form: padded duplicate indices add 0)
     updR = jnp.where(cam_ok[:, None, None], Rb - R_full[cam_take], 0.0)
     updf = jnp.where(cam_ok, f - f_full[cam_take], 0.0)
+    updk = jnp.where(cam_ok, k1 - k1_full[cam_take], 0.0)
     R_full = R_full.at[cam_take].add(updR)
     f_full = f_full.at[cam_take].add(updf)
-    return R_full, f_full, lam, cost, jnp.sum(accepts)
+    k1_full = k1_full.at[cam_take].add(updk)
+    return R_full, f_full, k1_full, lam, cost, jnp.sum(accepts)
 
 
 def _bucket(x: int, lo: int) -> int:
@@ -786,12 +882,15 @@ def run_incremental_ba(
     seed: int,
     cfg: BundleConfig,
     verbose: bool = False,
+    with_k1: bool = False,
 ):
     """Incremental Brown-Lowe BA: host loop over compact jitted LM phases.
 
     Mirrors the reference's incremental loop (`bundleAdjustmentRKf.m:146-326`)
     with grouped camera additions, then the staged final passes with focal
-    caps 0.5/1/2 percent (`:512-600`). Returns (R (N,3,3), f (N,), cost)."""
+    caps 0.5/1/2 percent (`:512-600`). With `with_k1`, every camera carries
+    a 5th parameter (radial distortion, see Cameras.k1).
+    Returns (R (N,3,3), f (N,), k1 (N,) | None, cost)."""
     n = len(f_init)
     P = len(loc_pairs)
     f0 = float(np.median(f_init))
@@ -807,10 +906,13 @@ def run_incremental_ba(
 
     R_d = jnp.asarray(R0.astype(np.float32))
     f_d = jnp.asarray(np.asarray(f_init).astype(np.float32))
+    k1_d = jnp.zeros((n,), jnp.float32)
     cx_d = jnp.asarray(cx.astype(np.float32))
     cy_d = jnp.asarray(cy.astype(np.float32))
+    pd = 5 if with_k1 else 4
 
     static = dict(
+        pd=pd,
         sigma=float(cfg.sigma_huber),
         f_lo=float(cfg.focal_clamp[0]),
         f_hi=float(cfg.focal_clamp[1]),
@@ -868,7 +970,7 @@ def run_incremental_ba(
     # consecutive phases with equal (nb, pb, iters) fuse into ONE scanned
     # executable — on the relay harness the per-phase dispatch round-trip
     # dominated BA wall time (see lm_phase_group)
-    state = [R_d, f_d]
+    state = [R_d, f_d, k1_d]
     cost = jnp.float32(0.0)
     phase_costs = []  # (upto, device cost, active pair count) — synced ONCE
     i = 0
@@ -882,12 +984,12 @@ def run_incremental_ba(
             jnp.asarray(np.stack([g[0][1][k] for g in group]))
             for k in range(8)
         )
-        R_new, f_new, costs, naccs = lm_phase_group(
-            state[0], state[1], cx_d, cy_d, data, *stacked,
+        R_new, f_new, k1_new, costs, naccs = lm_phase_group(
+            state[0], state[1], state[2], cx_d, cy_d, data, *stacked,
             jnp.float32(cfg.lambda0),
             nb=shape[0], pb=shape[1], iters=iters, **static,
         )
-        state = [R_new, f_new]
+        state = [R_new, f_new, k1_new]
         cost = costs[-1]
         for gi, (_, _, upto) in enumerate(group):
             if upto is not None:  # incremental phase: track for RMSE check
@@ -924,7 +1026,7 @@ def run_incremental_ba(
                     stacklevel=2,
                 )
         rmse_hist.append(rmse)
-    return state[0], state[1], cost
+    return state[0], state[1], state[2] if with_k1 else None, cost
 
 
 # ===========================================================================
@@ -1033,14 +1135,16 @@ def run_bundle_adjustment(
     # subsystem of the active cameras (see lm_phase_group).
     order = incremental_order(loc_counts, np.arange(n), seed)
 
-    R_ba, f_ba, cost = run_incremental_ba(
-        R0, np.full(n, f0, np.float32), cx, cy, data, loc_pairs, order, seed, cfg
+    R_ba, f_ba, k1_ba, cost = run_incremental_ba(
+        R0, np.full(n, f0, np.float32), cx, cy, data, loc_pairs, order, seed,
+        cfg, with_k1=bool(cfg.estimate_distortion),
     )
     result["cameras"] = Cameras(
         R=R_ba,
         f=f_ba,
         cx=jnp.asarray(cx),
         cy=jnp.asarray(cy),
+        k1=k1_ba,
     )
     result["final_cost"] = float(cost)
     return result

@@ -38,6 +38,7 @@ def overlap_statistics_imagespace(
     stride: int,
     chunk: int = 512,
     margin: float = 1.0,
+    k1: Array | None = None,  # (N,) radial distortion (None = pinhole)
 ):
     """Overlap statistics sampled on each image's OWN strided pixel grid.
 
@@ -73,14 +74,27 @@ def overlap_statistics_imagespace(
         & (wf_own > 1e-4)
     )  # (N, P)
 
-    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (P, 3)
     Rt_Kinv = jnp.matmul(
         jnp.swapaxes(R, 1, 2), geo.invert_K(K),
         precision=jax.lax.Precision.HIGHEST,
     )
-    rays = jnp.einsum(
-        "iab,pb->ipa", Rt_Kinv, pix, precision=jax.lax.Precision.HIGHEST
-    )  # (N, P, 3) world rays per image grid point
+    if k1 is None:
+        pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (P, 3)
+        rays = jnp.einsum(
+            "iab,pb->ipa", Rt_Kinv, pix, precision=jax.lax.Precision.HIGHEST
+        )  # (N, P, 3) world rays per image grid point
+    else:
+        # grid pixels live in each DISTORTED image; rays exist for pinhole
+        # coords, so undistort per image first (exact direction)
+        cxs = K[:, 0, 2][:, None]
+        cys = K[:, 1, 2][:, None]
+        xu, yu = proj.undistort_pixels(
+            xs[None, :], ys[None, :], k1[:, None], cxs, cys
+        )  # (N, P)
+        pix = jnp.stack([xu, yu, jnp.ones_like(xu)], axis=-1)  # (N, P, 3)
+        rays = jnp.einsum(
+            "iab,ipb->ipa", Rt_Kinv, pix, precision=jax.lax.Precision.HIGHEST
+        )
     KR = jnp.matmul(K, R, precision=jax.lax.Precision.HIGHEST)  # (N, 3, 3)
 
     nchunks = (P + chunk - 1) // chunk
@@ -103,6 +117,12 @@ def overlap_statistics_imagespace(
         zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
         u = prj[..., 0] / zi
         v = prj[..., 1] / zi
+        if k1 is not None:
+            # bounds live in j's DISTORTED image: map pinhole -> distorted
+            u, v = proj.distort_pixels(
+                u, v, k1[None, :, None],
+                K[:, 0, 2][None, :, None], K[:, 1, 2][None, :, None],
+            )
         vis = (
             (z > 1e-6)
             & (u >= margin) & (u <= w_v[None, :] - 1 - margin)
@@ -327,7 +347,7 @@ def solve_gains(
 
 
 def compute_gains_rotational(
-    images, feathers, R, K, sizes, cfg: GainConfig = GainConfig(),
+    images, feathers, R, K, sizes, cfg: GainConfig = GainConfig(), k1=None,
 ):
     """Full rotational-path gain compensation (device stats + host solve).
 
@@ -340,5 +360,6 @@ def compute_gains_rotational(
     Nij, sumC = overlap_statistics_imagespace(
         images, feathers, jnp.asarray(sizes, jnp.int32), R, K,
         int(cfg.grid_stride),
+        k1=None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
     )
     return solve_gains(np.asarray(Nij), np.asarray(sumC), cfg)

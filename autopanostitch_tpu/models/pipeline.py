@@ -828,6 +828,10 @@ def stitch_component(
     cams = ba["cameras"]
     R = np.asarray(cams.R)
     K = np.asarray(cams.K())
+    # per-camera radial distortion from BA (None = pinhole, the reference
+    # model); the render/gain samplers map pinhole coords into the stored
+    # (distorted) images so the composite is distortion-corrected
+    k1 = None if cams.k1 is None else np.asarray(cams.k1, np.float32)
 
     # straightening (reference straightening.m, flag inputs.m:88)
     R, straightened, S = straighten_stage.straighten_rotations(R, cfg.straighten)
@@ -842,7 +846,7 @@ def stitch_component(
 
             Nij, sumC = _sharded.sharded_gain_stats_imagespace(
                 images, feathers, sizes, R, K, mesh,
-                stride=int(cfg.gain.grid_stride),
+                stride=int(cfg.gain.grid_stride), k1=k1,
             )
             gains = gain_stage.solve_gains(
                 np.asarray(Nij), np.asarray(sumC), cfg.gain
@@ -855,10 +859,13 @@ def stitch_component(
                 jnp.asarray(K.astype(np.float32)),
                 sizes,
                 cfg.gain,
+                k1=k1,
             )
     projections: Dict[str, np.ndarray] = {}
     for mode in cfg.render.projections:
-        canvas = render_stage.compute_canvas(R, K, sizes, mode, cfg.render)
+        canvas = render_stage.compute_canvas(
+            R, K, sizes, mode, cfg.render, k1=k1
+        )
         blend_mode = cfg.blend.mode
         if blend_mode == "none":
             blend_mode = f"none-{cfg.blend.compose_none_policy}"
@@ -872,7 +879,7 @@ def stitch_component(
                     bands=cfg.blend.bands, tile=cfg.render.tile,
                     angle_power=cfg.render.angle_power, sizes=sizes,
                     max_contributors=cfg.render.max_contributors,
-                    interp=cfg.render.interpolation,
+                    interp=cfg.render.interpolation, k1=k1,
                 )
             else:
                 pano, cover = render_stage.render_rotational(
@@ -889,6 +896,7 @@ def stitch_component(
                     sizes=sizes,
                     interp=cfg.render.interpolation,
                     max_contributors=cfg.render.max_contributors,
+                    k1=k1,
                 )
         projections[mode] = pano
         result.setdefault("canvas", {})[mode] = canvas
@@ -903,7 +911,7 @@ def stitch_component(
         annotated = {}
         for mode, pano_img in projections.items():
             boxes, centers = annotate_stage.warped_boxes_rotational(
-                result["canvas"][mode], R, K, sizes
+                result["canvas"][mode], R, K, sizes, k1=k1
             )
             annotated[mode] = annotate_stage.draw_annotations(pano_img, boxes, centers)
         result["projections_annotated"] = annotated

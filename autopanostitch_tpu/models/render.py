@@ -42,25 +42,31 @@ Array = jax.Array
 def _bounds_per_camera(
     R: Array, K: Array, sizes: Array, mode: str, R_ref: Array,
     uv_abs_cap: float, nx: int = 48, ny: int = 32,
-    pct_lo: float = 1.0, pct_hi: float = 99.0,
+    pct_lo: float = 1.0, pct_hi: float = 99.0, k1: Array | None = None,
 ):
     """(N,4) [umin,umax,vmin,vmax] per camera on the given surface.
 
     Mirrors the reference bounds functions: sample each camera's pixel grid,
     push rays to the surface, take robust extents. For planar/stereographic
     a percentile clip (`RenderConfig.robust_pct`, default 1-99) + hard cap
-    mirrors `planarBounds` (`:1583-1671`).
+    mirrors `planarBounds` (`:1583-1671`). With `k1` (per-camera radial
+    distortion, see `models.bundle.Cameras.k1`) the sampled boundary pixels
+    are undistorted first so the bounds describe the true field of view.
     """
     tx = jnp.linspace(0.0, 1.0, nx)
     ty = jnp.linspace(0.0, 1.0, ny)
     gy, gx = jnp.meshgrid(ty, tx, indexing="ij")
+    k1a = jnp.zeros((R.shape[0],), R.dtype) if k1 is None else k1
 
-    def one(R_k, K_k, hw):
+    def one(R_k, K_k, hw, k1_k):
         h = hw[0].astype(jnp.float32) - 1.0
         w = hw[1].astype(jnp.float32) - 1.0
         xp = gx * w
         yp = gy * h
-        d = proj.camera_pixel_rays(geo.invert_K(K_k), R_k, xp, yp)
+        d = proj.camera_pixel_rays(
+            geo.invert_K(K_k), R_k, xp, yp,
+            k1=k1_k, cx=K_k[0, 2], cy=K_k[1, 2],
+        )
         d = proj.normalize_rays(d)
         u, v, valid = proj.ray_to_pano(mode, d, R_ref)
         if mode in ("planar", "perspective", "stereographic"):
@@ -90,7 +96,7 @@ def _bounds_per_camera(
             hi_v = jnp.max(jnp.where(valid, v, -big))
         return jnp.stack([lo_u, hi_u, lo_v, hi_v])
 
-    return jax.vmap(one)(R, K, sizes)
+    return jax.vmap(one)(R, K, sizes, k1a)
 
 
 def _memory_fit_pixels(margin_bytes: float = 256e6, frac: float = 0.8):
@@ -114,6 +120,7 @@ def compute_canvas(
     mode: str,
     cfg: RenderConfig = RenderConfig(),
     ref_idx: int | None = None,
+    k1: np.ndarray | None = None,
 ):
     """Host control plane: pick reference, compute canvas geometry.
 
@@ -123,6 +130,7 @@ def compute_canvas(
     N = len(sizes)
     f_pan = float(K[ref_idx if ref_idx is not None else 0][0, 0])
     needs_ref = mode in ("planar", "perspective", "stereographic")
+    k1_d = None if k1 is None else jnp.asarray(np.asarray(k1, np.float32))
 
     if needs_ref and cfg.auto_ref and ref_idx is None:
         best_area, best = np.inf, 0
@@ -132,6 +140,7 @@ def compute_canvas(
                     jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
                     mode, jnp.asarray(R[cand]), cfg.uv_abs_cap,
                     pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
+                    k1=k1_d,
                 )
             )
             u0, u1 = b[:, 0].min(), b[:, 1].max()
@@ -150,6 +159,7 @@ def compute_canvas(
             jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
             mode, jnp.asarray(R_ref), cfg.uv_abs_cap,
             pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
+            k1=k1_d,
         )
     )
     u0, u1 = float(b[:, 0].min()), float(b[:, 1].max())
@@ -238,6 +248,7 @@ def _render_tile_impl(
     bands: int = 3,
     angle_power: float = 1.0,
     interp: str = "bilinear",
+    k1: Array | None = None,  # (N,) per-camera radial distortion
 ):
     """Render one canvas tile (reference `fuseTile`/`sampleOneTile`).
 
@@ -262,6 +273,11 @@ def _render_tile_impl(
     R = R[sel]
     K = K[sel]
     gains = gains[sel] * sel_ok[:, None]
+    # k1 = None keeps the pinhole fast path bit-identical (no distortion
+    # fixed-point math in the sampler); with k1 the projected pinhole coords
+    # are mapped into the stored (distorted) image before the gather
+    use_k1 = k1 is not None
+    k1 = jnp.zeros((R.shape[0],), R.dtype) if k1 is None else k1[sel]
 
     if interp == "bicubic2x":
         # bicubic quality at bilinear tap cost: bicubic-UPSAMPLE the C
@@ -289,8 +305,10 @@ def _render_tile_impl(
     else:
         sampler = samp._SAMPLERS[interp]
 
-    def sample_one(img4, R_k, K_k, gain, ok):
-        u, v, front, cosang = proj.project_ray_to_camera(d, R_k, K_k)
+    def sample_one(img4, R_k, K_k, gain, ok, k1_k):
+        u, v, front, cosang = proj.project_ray_to_camera(
+            d, R_k, K_k, k1=k1_k if use_k1 else None
+        )
         col4, valid = sampler(img4, u, v)
         col = col4[..., :3]
         wf = jnp.maximum(col4[..., 3], 0.0)  # clamp ramp overshoot
@@ -300,15 +318,15 @@ def _render_tile_impl(
 
     if blend_mode == "multiband":
         cols, ws = jax.vmap(sample_one)(
-            images4, R, K, gains, sel_ok.astype(images4.dtype)
+            images4, R, K, gains, sel_ok.astype(images4.dtype), k1
         )
         tile = blend_ops.multiband_blend(cols, ws, bands=bands)
         wsum = jnp.sum(ws, axis=0)
     elif blend_mode == "linear":
         def body(carry, inp):
             acc, wsum = carry
-            img4, R_k, K_k, gain, ok = inp
-            col, w = sample_one(img4, R_k, K_k, gain, ok)
+            img4, R_k, K_k, gain, ok, k1_k = inp
+            col, w = sample_one(img4, R_k, K_k, gain, ok, k1_k)
             return (acc + col * w[..., None], wsum + w), None
 
         # carry init references `origin` so it is device-varying under
@@ -318,7 +336,7 @@ def _render_tile_impl(
         (acc, wsum), _ = jax.lax.scan(
             body,
             (z3, z2),
-            (images4, R, K, gains, sel_ok.astype(images4.dtype)),
+            (images4, R, K, gains, sel_ok.astype(images4.dtype), k1),
         )
         tile = acc / jnp.maximum(wsum, 1e-8)[..., None]
     else:
@@ -328,8 +346,8 @@ def _render_tile_impl(
 
         def body(carry, inp):
             tile, wsum, best = carry
-            img4, R_k, K_k, gain, ok = inp
-            col, w = sample_one(img4, R_k, K_k, gain, ok)
+            img4, R_k, K_k, gain, ok, k1_k = inp
+            col, w = sample_one(img4, R_k, K_k, gain, ok, k1_k)
             valid = w > 1e-6
             if policy == "first":
                 write = valid & (wsum <= 1e-6)
@@ -346,7 +364,7 @@ def _render_tile_impl(
         (tile, wsum, _), _ = jax.lax.scan(
             body,
             (z3, z2, z2),
-            (images4, R, K, gains, sel_ok.astype(images4.dtype)),
+            (images4, R, K, gains, sel_ok.astype(images4.dtype), k1),
         )
     # threshold, not >0 (see planar.composite_band): hairline bilinear
     # tails at image borders otherwise count as coverage
@@ -365,14 +383,14 @@ def _render_tile_impl(
 def render_tile(
     images, feathers, R, K, gains, sel, sel_ok, origin, f_pan, x0, y0,
     R_ref, mode, tile_h, tile_w, blend_mode="linear", bands=3,
-    angle_power=1.0, interp="bilinear",
+    angle_power=1.0, interp="bilinear", k1=None,
 ):
     """Single-tile entry point (images and feathers as separate arrays;
     the batched path pre-concatenates the 4-channel stack once)."""
     images4 = jnp.concatenate([images, feathers[..., None]], axis=-1)
     return _render_tile_impl(
         images4, R, K, gains, sel, sel_ok, origin, f_pan, x0, y0, R_ref,
-        mode, tile_h, tile_w, blend_mode, bands, angle_power, interp,
+        mode, tile_h, tile_w, blend_mode, bands, angle_power, interp, k1,
     )
 
 
@@ -403,6 +421,7 @@ def _render_tiles_batched(
     bands: int,
     angle_power,
     interp: str,
+    k1: Array | None = None,
 ):
     """ALL canvas tiles in one dispatch: lax.map over the tile kernel, then
     device-side canvas assembly. One executable + ONE uint8 device->host
@@ -416,7 +435,7 @@ def _render_tiles_batched(
         s, ok, org = args
         return _render_tile_impl(
             images4, R, K, gains, s, ok, org, f_pan, x0, y0, R_ref,
-            mode, tile_h, tile_w, blend_mode, bands, angle_power, interp,
+            mode, tile_h, tile_w, blend_mode, bands, angle_power, interp, k1,
         )
 
     tiles, covs = jax.lax.map(one, (sel, sel_ok, origins))
@@ -456,6 +475,7 @@ def tile_contributors(
     sizes: np.ndarray,
     tile: tuple,
     max_contributors: int | None = None,
+    k1: np.ndarray | None = None,
 ):
     """Host control plane: for every tile, pick the <= C images whose
     projected bounds intersect it (with wrap-around handling for the
@@ -476,6 +496,7 @@ def tile_contributors(
             # same cap the canvas was computed with, so contributor bounds
             # stay consistent with canvas bounds under a configured cap
             float(canvas.get("uv_abs_cap", 8.0)),
+            k1=None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
         )
     )  # (N, 4) surface coords
     # to canvas pixels
@@ -581,6 +602,7 @@ def render_rotational(
     sizes: np.ndarray | None = None,
     max_contributors: int | None = None,
     interp: str = "bilinear",
+    k1: np.ndarray | None = None,
 ):
     """Full rotational panorama: ONE jitted dispatch mapping the tile
     kernel over all canvas tiles, with per-tile contributor culling (cost
@@ -599,7 +621,9 @@ def render_rotational(
     if sizes is None:
         sizes = np.tile(np.array(images.shape[1:3], np.int32), (n, 1))
     C_arg = None if max_contributors is None else min(max_contributors, n)
-    sel, sel_ok, origins = tile_contributors(canvas, R, K, sizes, (th, tw), C_arg)
+    sel, sel_ok, origins = tile_contributors(
+        canvas, R, K, sizes, (th, tw), C_arg, k1=k1
+    )
     C = sel.shape[1]
 
     imgs4_d = _concat_feather(jnp.asarray(images), jnp.asarray(feathers))
@@ -616,6 +640,7 @@ def render_rotational(
         canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
         canvas["mode"], tr, tc, th, tw, blend_mode, bands, angle_power,
         interp,
+        None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
     )
     pano = np.asarray(pano_d)[:Hc, :Wc]
     cover = np.asarray(cover_d)[:Hc, :Wc]

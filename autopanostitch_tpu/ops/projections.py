@@ -107,21 +107,63 @@ def ray_to_pano(mode: str, d: Array, R_ref: Array | None = None):
     return u, v, valid
 
 
-def camera_pixel_rays(K_inv: Array, R: Array, xp: Array, yp: Array) -> Array:
+def undistort_pixels(u: Array, v: Array, k1, cx, cy):
+    """Distorted-image pixel -> pinhole pixel, Brown one-term model.
+
+    The distorted image shows, at pixel p, the pinhole content at
+    p*(1 + k1*r^2) with r = |p - c| / half-diagonal — the same forward map
+    as `utils.perturb.radial_distort`. Exact (no iteration) in this
+    direction. k1 is a capability the reference does NOT have (see
+    `models.bundle.Cameras.k1`); k1 = 0 is the identity."""
+    dx = u - cx
+    dy = v - cy
+    r2 = (dx * dx + dy * dy) / (cx * cx + cy * cy + 1e-12)
+    fac = 1.0 + k1 * r2
+    return cx + dx * fac, cy + dy * fac
+
+
+def distort_pixels(u: Array, v: Array, k1, cx, cy, iters: int = 6):
+    """Pinhole pixel -> distorted-image pixel (inverse of undistort_pixels).
+
+    Solves r_p^2 = r_q^2 / (1 + k1 r_p^2)^2 by fixed point (converges in a
+    few iterations for |k1| << 1, the consumer-lens regime; clamped so a
+    pathological k1 cannot produce a negative magnification). This is the
+    sampling direction: the renderer projects to PINHOLE coords and must
+    gather from the stored (distorted) image."""
+    dx = u - cx
+    dy = v - cy
+    rq2 = (dx * dx + dy * dy) / (cx * cx + cy * cy + 1e-12)
+    rp2 = rq2
+    for _ in range(iters):
+        rp2 = rq2 / jnp.maximum(1.0 + k1 * rp2, 0.25) ** 2
+    fac = jnp.maximum(1.0 + k1 * rp2, 0.25)
+    return cx + dx / fac, cy + dy / fac
+
+
+def camera_pixel_rays(
+    K_inv: Array, R: Array, xp: Array, yp: Array, k1=None, cx=None, cy=None
+) -> Array:
     """Image pixel grid of one camera -> world rays (not normalized).
 
     d_world = R^T @ K^-1 @ [x, y, 1]   (reference bounds fns: `R' * (K \\ xy1)`).
-    """
+    With `k1`, pixels are first mapped distorted -> pinhole (the stored
+    image is distorted; rays only exist for pinhole coords)."""
+    if k1 is not None:
+        xp, yp = undistort_pixels(xp, yp, k1, cx, cy)
     p = jnp.stack([xp, yp, jnp.ones_like(xp)], axis=-1)
     cam = jnp.einsum("ij,...j->...i", K_inv, p, precision=_HI)
     return jnp.einsum("ji,...j->...i", R, cam, precision=_HI)  # R^T @ cam
 
 
-def project_ray_to_camera(d_world: Array, R: Array, K: Array, eps_z: float = 1e-6):
+def project_ray_to_camera(
+    d_world: Array, R: Array, K: Array, eps_z: float = 1e-6, k1=None
+):
     """World unit rays -> camera pixel coords + front-facing mask + cosine.
 
     Mirrors `renderPanorama.m sampleOneTile` (`:1100-1146`):
       dirc = R @ d;  u = fx*dx/dz + cx; front = dz > eps.
+    With `k1`, the pinhole projection is mapped into the stored (distorted)
+    image's coordinates before return (see distort_pixels).
 
     Returns (u, v, front, cos_angle) each with leading shape of d_world.
     """
@@ -135,6 +177,8 @@ def project_ray_to_camera(d_world: Array, R: Array, K: Array, eps_z: float = 1e-
     cy = K[..., 1, 2]
     u = fx * (dx / dz_safe) + cx
     v = fy * (dy / dz_safe) + cy
+    if k1 is not None:
+        u, v = distort_pixels(u, v, k1, cx, cy)
     # view-angle cosine: dot(d_world, camera forward in world) = dz for unit d
     cos_angle = jnp.maximum(dz, 0.0)
     return u, v, front, cos_angle

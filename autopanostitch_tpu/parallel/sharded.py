@@ -216,6 +216,7 @@ def sharded_render_tiles(
     gains=None, blend_mode: str = "multiband", bands: int = 3,
     tile=(512, 512), angle_power: float = 1.0, sizes=None,
     max_contributors=None, interp: str = "bicubic", axis: str = "data",
+    k1=None,
 ):
     """Rotational render with the TILE axis sharded across chips.
 
@@ -253,7 +254,7 @@ def sharded_render_tiles(
     C_arg = None if max_contributors is None else min(max_contributors, N)
     sel, sel_ok, origins = tile_contributors(
         canvas, np.asarray(R, np.float32), np.asarray(K, np.float32),
-        np.asarray(sizes), (th, tw), C_arg,
+        np.asarray(sizes), (th, tw), C_arg, k1=k1,
     )
     T = sel.shape[0]
     n = mesh.devices.size
@@ -280,12 +281,17 @@ def sharded_render_tiles(
     order = np.arange(T + padT).reshape(-1, n).T.reshape(-1)
     inv = np.argsort(order)
 
-    def local(imgs4, R_, K_, g_, sel_l, ok_l, org_l):
+    k1_d = (
+        None if k1 is None
+        else jnp.asarray(np.asarray(k1, np.float32).reshape(-1))
+    )
+
+    def local(imgs4, R_, K_, g_, k1_, sel_l, ok_l, org_l):
         def one(args):
             s, ok, org = args
             return _render_tile_impl(
                 imgs4, R_, K_, g_, s, ok, org, f_pan, x0, y0, R_ref,
-                mode, th, tw, blend_mode, bands, angle_power, interp,
+                mode, th, tw, blend_mode, bands, angle_power, interp, k1_,
             )
 
         return jax.lax.map(one, (sel_l, ok_l, org_l))
@@ -293,11 +299,11 @@ def sharded_render_tiles(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
     )
     tiles, covs = jax.jit(fn)(
-        imgs4, R_d, K_d, g_d,
+        imgs4, R_d, K_d, g_d, k1_d,
         jnp.asarray(sel[order]), jnp.asarray(sel_ok[order]),
         jnp.asarray(origins[order], jnp.float32),
     )
@@ -320,7 +326,7 @@ def sharded_render_tiles(
 
 def sharded_gain_stats_imagespace(
     images, feathers, sizes, R, K, mesh: Mesh,
-    stride: int = 5, chunk: int = 512, axis: str = "data",
+    stride: int = 5, chunk: int = 512, axis: str = "data", k1=None,
 ):
     """Image-space gain statistics with the grid-point chunk axis sharded.
 
@@ -360,10 +366,22 @@ def sharded_gain_stats_imagespace(
         & (ys[None, :] >= margin) & (ys[None, :] <= h_v - 1 - margin)
         & (wf_own > 1e-4)
     )
-    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
     hi = jax.lax.Precision.HIGHEST
     Rt_Kinv = jnp.matmul(jnp.swapaxes(R, 1, 2), geo.invert_K(K), precision=hi)
-    rays = jnp.einsum("iab,pb->ipa", Rt_Kinv, pix, precision=hi)
+    if k1 is None:
+        pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+        rays = jnp.einsum("iab,pb->ipa", Rt_Kinv, pix, precision=hi)
+        k1_d = None
+    else:
+        from autopanostitch_tpu.ops import projections as proj
+
+        k1_d = jnp.asarray(np.asarray(k1, np.float32))
+        xu, yu = proj.undistort_pixels(
+            xs[None, :], ys[None, :], k1_d[:, None],
+            K[:, 0, 2][:, None], K[:, 1, 2][:, None],
+        )
+        pix = jnp.stack([xu, yu, jnp.ones_like(xu)], axis=-1)  # (N, P, 3)
+        rays = jnp.einsum("iab,ipb->ipa", Rt_Kinv, pix, precision=hi)
 
     # chunk the grid axis; pad chunk count to a multiple of the mesh size
     nchunks = ((Pn + chunk - 1) // chunk + n - 1) // n * n
@@ -388,6 +406,13 @@ def sharded_gain_stats_imagespace(
             zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
             u = prj[..., 0] / zi
             v = prj[..., 1] / zi
+            if k1_d is not None:
+                from autopanostitch_tpu.ops import projections as proj
+
+                u, v = proj.distort_pixels(
+                    u, v, k1_d[None, :, None],
+                    K[:, 0, 2][None, :, None], K[:, 1, 2][None, :, None],
+                )
             vis = (
                 (z > 1e-6)
                 & (u >= margin) & (u <= w_v[None, :] - 1 - margin)

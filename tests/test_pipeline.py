@@ -275,6 +275,70 @@ class TestHighFidelityRotational:
         p = 10 * np.log10(1.0 / max(np.mean(err**2), 1e-12))
         assert p > 40.0, f"smooth-env rotational PSNR {p:.1f} dB"
 
+    def test_distorted_lens_estimate_distortion_recovers(self):
+        """Barrel-distorted views (k1 = -0.04, a capability the reference
+        lacks): estimate_distortion recovers f within 1% and k1 within
+        0.01, and the distortion-aware render path produces the panorama
+        (the 4-param model measured ~8-12% focal bias on this setup —
+        the robustness sweep's dominant artifact class)."""
+        from autopanostitch_tpu.utils import perturb
+
+        env = synthdata.smooth_texture(11, 512, 1536)
+        f_true, k1_true = 300.0, -0.04
+        n = 10
+        views, Rs = [], []
+        for i in range(n):
+            R = synthdata.rot_y(i * 2 * np.pi / n).T
+            v = synthdata.render_pinhole_from_equirect(
+                env, R, f_true, 320, 256, "bicubic")
+            views.append(perturb.radial_distort(
+                np.asarray(v, np.float32), k1_true))
+            Rs.append(R)
+        iset = make_set([v.astype(np.float32) for v in views])
+        cfg = small_cfg(planar=False).replace(
+            render=RenderConfig(projections=("spherical",),
+                                interpolation="bicubic"),
+            blend=BlendConfig(mode="multiband"),
+            straighten=StraightenConfig(enabled=False),
+        )
+        cfg = cfg.replace(
+            bundle=dataclasses.replace(cfg.bundle, estimate_distortion=True)
+        )
+        res = pipeline.stitch(iset, cfg)
+        assert len(res.panoramas) == 1
+        pr = res.panoramas[0]
+        cams = pr["ba"]["cameras"]
+        f_est = np.asarray(cams.f)
+        k1_est = np.asarray(cams.k1)
+        assert np.all(np.abs(f_est - f_true) / f_true < 0.01), f_est
+        assert np.all(np.abs(k1_est - k1_true) < 0.01), k1_est
+        # the distortion-corrected composite must align with the true
+        # environment (gauge-aligned PSNR like the pinhole test above)
+        pano = pr["projections"]["spherical"]
+        cover = pr["coverage_by_mode"]["spherical"]
+        canvas = pr["canvas"]["spherical"]
+        R_est = pr["R_render"]
+        M = sum(R_est[i].T @ np.asarray(Rs[i]) for i in range(n))
+        U, _, Vt = np.linalg.svd(M)
+        G = U @ Vt
+        if np.linalg.det(G) < 0:
+            U[:, -1] *= -1
+            G = U @ Vt
+        ys, xs = np.nonzero(cover)
+        sub = np.random.default_rng(0).choice(len(ys), min(60000, len(ys)),
+                                              replace=False)
+        ys, xs = ys[sub], xs[sub]
+        u = canvas["x0"] + xs / canvas["f_pan"]
+        v = canvas["y0"] + ys / canvas["f_pan"]
+        d = np.stack([np.cos(v) * np.sin(u), np.sin(v),
+                      np.cos(v) * np.cos(u)], -1)
+        gt = synthdata.env_lookup(env, d @ G, interp="bicubic")
+        err = pano[ys, xs].astype(np.float64) / 255.0 - gt
+        p = 10 * np.log10(1.0 / max(np.mean(err**2), 1e-12))
+        # distorted inputs lose the rim to the distortion resample; the
+        # correction must still land within a few dB of the pinhole gate
+        assert p > 33.0, f"distortion-corrected PSNR {p:.1f} dB"
+
 
 class TestDegenerateInputs:
     def test_all_unrelated_images(self):

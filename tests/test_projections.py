@@ -69,3 +69,40 @@ def test_backfacing_rays_masked():
     _, _, front, cosang = proj.project_ray_to_camera(d, R, K)
     assert not bool(front[0])
     assert float(cosang[0]) == 0.0
+
+
+def test_distortion_pixel_maps_roundtrip_and_forward_parity():
+    """distort_pixels inverts undistort_pixels to sub-1e-3 px, and the
+    forward (distorted -> pinhole) map matches the convention of
+    `utils.perturb.radial_distort`: sampling the distorted image at
+    distort_pixels(q) returns the pinhole image's content at q."""
+    from autopanostitch_tpu.utils import perturb
+
+    cx, cy = 159.5, 127.5
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.uniform(0, 319, 4000))
+    v = jnp.asarray(rng.uniform(0, 255, 4000))
+    for k1 in (-0.08, -0.02, 0.04):
+        ud, vd = proj.distort_pixels(u, v, k1, cx, cy)
+        ur, vr = proj.undistort_pixels(ud, vd, k1, cx, cy)
+        err = np.hypot(np.asarray(ur - u), np.asarray(vr - v)).max()
+        assert err < 1e-3, (k1, err)
+
+    # forward parity against radial_distort on a smooth gradient image
+    ys, xs = np.mgrid[0:256, 0:320].astype(np.float64)
+    img = np.stack([xs / 319.0, ys / 255.0, (xs + ys) / 574.0], -1).astype(
+        np.float32
+    )
+    k1 = -0.05
+    dimg = perturb.radial_distort(img, k1)
+    # sample the distorted image at distort_pixels of interior pinhole pts
+    qx = jnp.asarray(rng.uniform(60, 260, 500))
+    qy = jnp.asarray(rng.uniform(50, 200, 500))
+    px, py = proj.distort_pixels(qx, qy, k1, cx, cy)
+    from autopanostitch_tpu.ops import sampling as samp
+
+    got, okm = samp.sample_bilinear(jnp.asarray(dimg), px, py)
+    want, _ = samp.sample_bilinear(jnp.asarray(img), qx, qy)
+    assert bool(np.asarray(okm).all())
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert diff < 0.01, diff

@@ -55,6 +55,10 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 VIEW_W, VIEW_H = 320, 256
 PSNR_GATE_DB = 25.0
+# fidelity is judged against the scene's ORACLE stitch (true cameras, same
+# renderer) when the absolute gate trips: resampling softness shared by
+# both cancels, only estimation error fails the gate
+FIDELITY_MARGIN_DB = 3.0
 COVERAGE_RATIO_GATE = 0.90
 GHOST_P99_GATE_PX = 10.0
 _SEED0 = 20260818
@@ -260,9 +264,14 @@ def ghost_displacement_px(
     (p50, p90, p99) over pixels with >=2 contributors."""
     cover = np.asarray(pano_rec["coverage_by_mode"]["spherical"])
     canvas = pano_rec["canvas"]["spherical"]
-    f_est = np.asarray(pano_rec["ba"]["cameras"].f)
+    cams = pano_rec["ba"]["cameras"]
+    f_est = np.asarray(cams.f)
     R_est = np.asarray(pano_rec["R_render"])
     f_true, k1 = p["f_true"], p["k1"]
+    k1_est = (
+        np.zeros_like(f_est) if getattr(cams, "k1", None) is None
+        else np.asarray(cams.k1, np.float64)
+    )
     n = len(f_est)
     ys, xs = np.nonzero(cover)
     rng = np.random.default_rng(2)
@@ -276,17 +285,27 @@ def ghost_displacement_px(
     with np.errstate(all="ignore"):
         px = f_est[:, None] * cam[..., 0] / z
         py = f_est[:, None] * cam[..., 1] / z
+    norm2 = (VIEW_W / 2.0) ** 2 + (VIEW_H / 2.0) ** 2
+    # where the renderer actually GATHERS: the distortion-aware sampler
+    # maps the estimated pinhole projection into the stored (distorted)
+    # image by the estimated k1 (identity when k1 was not estimated)
+    rq2 = (px * px + py * py) / norm2
+    rp2 = rq2.copy()
+    for _ in range(6):
+        rp2 = rq2 / np.maximum(1.0 + k1_est[:, None] * rp2, 0.25) ** 2
+    fest = np.maximum(1.0 + k1_est[:, None] * rp2, 0.25)
+    px_d = px / fest
+    py_d = py / fest
     inside = (
         (z > 1e-6)
-        & (np.abs(px) <= VIEW_W / 2.0 - 1)
-        & (np.abs(py) <= VIEW_H / 2.0 - 1)
+        & (np.abs(px_d) <= VIEW_W / 2.0 - 1)
+        & (np.abs(py_d) <= VIEW_H / 2.0 - 1)
     )
     # the (distorted) view sample at p shows true-pinhole content at
-    # p * (1 + k1 r^2) — the same forward map radial_distort applied
-    norm2 = (VIEW_W / 2.0) ** 2 + (VIEW_H / 2.0) ** 2
-    fac = 1.0 + k1 * (px * px + py * py) / norm2
+    # p * (1 + k1_true r^2) — the same forward map radial_distort applied
+    fac = 1.0 + k1 * (px_d * px_d + py_d * py_d) / norm2
     vecs = np.stack(
-        [px * fac, py * fac, np.broadcast_to(f_true, px.shape)], -1
+        [px_d * fac, py_d * fac, np.broadcast_to(f_true, px_d.shape)], -1
     )
     vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
     tw = np.einsum("nji,npj->npi", Rs_true, vecs)  # cam->world: R^T v
@@ -305,6 +324,67 @@ def ghost_displacement_px(
         return 0.0, 0.0, 0.0
     g = worst[multi] * f_true
     return tuple(float(np.percentile(g, q)) for q in (50, 90, 99))
+
+
+def oracle_psnr_db(
+    views, Rs: np.ndarray, env: np.ndarray, p: dict, cfg
+) -> float:
+    """PSNR ceiling of this scene: stitch with PERFECT knowledge.
+
+    Renders the same perturbed views through the same renderer with the
+    TRUE rotations/focal/distortion (gains still estimated — exposure is
+    a perturbation the oracle must also compensate). The oracle absorbs
+    every resampling loss the measurement chain shares (view synthesis,
+    the distortion warp's bilinear resample, render interpolation), so
+    `psnr - oracle` isolates ESTIMATION error — a softness-independent
+    fidelity gate. Mirrors the reference's qualitative standard: artifacts
+    are misalignments, not resampling softness (README.md:194)."""
+    import jax.numpy as jnp
+
+    from autopanostitch_tpu.models import gain as gain_stage
+    from autopanostitch_tpu.models import render as render_stage
+    from autopanostitch_tpu.ops import geometry as geo
+    from autopanostitch_tpu.ops import sampling as samp_ops
+
+    n = len(views)
+    f = p["f_true"]
+    cx, cy = (VIEW_W - 1) / 2.0, (VIEW_H - 1) / 2.0
+    K = np.asarray(geo.build_K(
+        jnp.full((n,), f, jnp.float32),
+        jnp.full((n,), cx, jnp.float32),
+        jnp.full((n,), cy, jnp.float32),
+    ))
+    k1 = (
+        np.full((n,), p["k1"], np.float32) if p["k1"] else None
+    )
+    sizes = np.tile(np.array([VIEW_H, VIEW_W], np.int32), (n, 1))
+    imgs = jnp.asarray(np.stack(views), jnp.float32)
+    feathers = samp_ops.feather_stack(
+        jnp.asarray(sizes), VIEW_H, VIEW_W
+    )
+    gains = gain_stage.compute_gains_rotational(
+        imgs, feathers, jnp.asarray(Rs.astype(np.float32)),
+        jnp.asarray(K.astype(np.float32)), sizes, cfg.gain, k1=k1,
+    )
+    canvas = render_stage.compute_canvas(
+        Rs.astype(np.float32), K, sizes, "spherical", cfg.render, k1=k1
+    )
+    pano, cover = render_stage.render_rotational(
+        np.asarray(imgs), np.asarray(feathers), Rs.astype(np.float32), K,
+        canvas, gains=gains, blend_mode=cfg.blend.mode,
+        bands=cfg.blend.bands, tile=cfg.render.tile,
+        angle_power=cfg.render.angle_power, sizes=sizes,
+        interp=cfg.render.interpolation,
+        max_contributors=cfg.render.max_contributors, k1=k1,
+    )
+    rec = {
+        "projections": {"spherical": pano},
+        "coverage_by_mode": {"spherical": cover},
+        "canvas": {"spherical": canvas},
+        "R_render": Rs,
+    }
+    psnr, _ = evaluate(rec, env, Rs, f)
+    return psnr
 
 
 def run_scene(p: dict, cfg=None) -> dict:
@@ -349,7 +429,12 @@ def run_scene(p: dict, cfg=None) -> dict:
         if cov_ratio < COVERAGE_RATIO_GATE:
             failures.append("holes")
         if rec["psnr_db"] < PSNR_GATE_DB:
-            failures.append("fidelity")
+            # below the absolute gate: compare to the scene's oracle —
+            # only an estimation-error shortfall counts as an artifact
+            orc = oracle_psnr_db(views, Rs, env, p, cfg)
+            rec["oracle_psnr_db"] = round(orc, 2)
+            if rec["psnr_db"] < orc - FIDELITY_MARGIN_DB:
+                failures.append("fidelity")
         if g99 > GHOST_P99_GATE_PX:
             failures.append("ghosting")
     rec["failures"] = failures
@@ -379,6 +464,7 @@ def summarize(records) -> dict:
         "ghost_px_p99_max": round(max(ghosts), 2) if ghosts else None,
         "gates": {
             "psnr_db": PSNR_GATE_DB,
+            "fidelity_margin_vs_oracle_db": FIDELITY_MARGIN_DB,
             "coverage_ratio": COVERAGE_RATIO_GATE,
             "ghost_px_p99": GHOST_P99_GATE_PX,
             "membership": "all views in ONE panorama",
@@ -393,6 +479,10 @@ def main():
     ap.add_argument("--start", type=int, default=0, help="first scene_id")
     ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument("--out", default=None, help="write JSON records here")
+    ap.add_argument(
+        "--estimate-distortion", action="store_true",
+        help="turn on per-camera k1 estimation in BA (beyond-reference)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -404,6 +494,12 @@ def main():
     compile_cache.enable()
 
     cfg = _sweep_config()
+    if args.estimate_distortion:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, bundle=dataclasses.replace(cfg.bundle, estimate_distortion=True)
+        )
     records = []
     for sid in range(args.start, args.start + args.scenes):
         p = sample_scene(sid, args.n_views)
