@@ -146,6 +146,16 @@ class BundleConfig:
     subsample_grid_bins: Tuple[int, int] = (4, 4)  # [rows, cols]
     subsample_polar_bins: Tuple[int, int] = (12, 5)  # [nAngles, nRadii]
     incremental_lm_iters: int = 8  # LM iters per incremental step (TPU)
+    # Per-iteration focal step cap DURING incremental growth (beyond the
+    # reference, which lets every incremental LM move f 0.5-2%/iter like
+    # the final passes and documents the consequence as BA-divergence
+    # artifacts, README.md:194): on partial graphs — open yaw chains
+    # before loop closure / cross-row edges activate — f is nearly
+    # unobservable and random-walks (measured: a clean 2-row rig drifted
+    # f 399 -> 558 at 100x the attainable cost). Growth phases are for
+    # placing ROTATIONS; the staged final passes (focal_step_fracs, full
+    # graph) own the focal estimate and allow ~50% cumulative movement.
+    incremental_focal_frac: float = 0.001
     # priors (bundleAdjustmentRKf.m buildBrownLowePrior :1503-1637)
     theta_prior: float = 3.141592653589793 / 16.0
     focal_prior_frac: float = 20.0  # prior sigma = mean_f / 20

@@ -53,6 +53,9 @@ _HI = jax.lax.Precision.HIGHEST
 _K1_PRIOR_SIGMA = 0.05  # prior to 0: keeps k1 quiet when unconstrained
 _K1_MEAN_WEIGHT = 1.0e4  # same-lens coupling (damps k1 steps that differ)
 _K1_STEP_CAP = 0.02  # per-iteration |delta k1| cap (capPerCameraStep analog)
+# during incremental growth k1 is as weakly observable as f (see
+# BundleConfig.incremental_focal_frac) — same 10x tighter cap
+_K1_INC_STEP_CAP = 0.002
 _K1_CLAMP = 0.25  # hard clamp, like the focal clamp [100, 5000]
 
 
@@ -521,6 +524,7 @@ def lm_phase_group(
     cpinv_g,  # (G, nb, nb) f32
     seed_g,  # (G,) int32
     focal_frac_g,  # (G,) f32
+    k1_cap_g,  # (G,) f32 — per-iteration |delta k1| cap (pd = 5 only)
     lam0,  # () f32 — lambda resets to this at every phase
     nb: int,
     pb: int,
@@ -542,18 +546,18 @@ def lm_phase_group(
 
         def body(carry, xs):
             Rf, ff, kf = carry
-            ct, co, pt, pij, po, cp, sl, frac = xs
+            ct, co, pt, pij, po, cp, sl, frac, k1c = xs
             Rf, ff, kf, _, cost, nacc = _lm_phase_body(
                 Rf, ff, kf, cx_full, cy_full, data, ct, co, pt, pij, po,
                 cp, sl, lam0, nb=nb, pb=pb, iters=iters, pd=pd,
-                focal_frac=frac, **static,
+                focal_frac=frac, k1_cap=k1c, **static,
             )
             return (Rf, ff, kf), (cost, nacc)
 
         (R_full, f_full, k1_full), (costs, naccs) = jax.lax.scan(
             body, (R_full, f_full, k1_full),
             (cam_take_g, cam_ok_g, pair_take_g, pair_ij_g, pair_ok_g,
-             cpinv_g, seed_g, focal_frac_g),
+             cpinv_g, seed_g, focal_frac_g, k1_cap_g),
         )
     return R_full, f_full, k1_full, costs, naccs
 
@@ -577,6 +581,7 @@ def _lm_phase_body(
     pb: int,
     iters: int,
     focal_frac: float,
+    k1_cap: Array | float = _K1_STEP_CAP,  # per-iteration |delta k1| cap
     pd: int = 4,
     sigma: float = 2.0,
     f_lo: float = 100.0,
@@ -782,7 +787,7 @@ def _lm_phase_body(
         if pd == 5:
             k1_scale = jnp.minimum(
                 1.0,
-                _K1_STEP_CAP / jnp.maximum(jnp.abs(delta[:, 4]), 1e-12),
+                k1_cap / jnp.maximum(jnp.abs(delta[:, 4]), 1e-12),
             )
             dk1 = delta[:, 4] * k1_scale
             parts.append(dk1[:, None])
@@ -922,7 +927,8 @@ def run_incremental_ba(
         one_direction=bool(cfg.residual_one_direction),
     )
 
-    def phase_arrays(active: list, focal_frac: float, couple: bool):
+    def phase_arrays(active: list, focal_frac: float, couple: bool,
+                     k1_cap: float = _K1_STEP_CAP):
         """Host-built index/coupling arrays for one phase, plus (nb, pb)."""
         act = np.asarray(active, np.int64)
         in_act = np.zeros(n, bool)
@@ -949,7 +955,8 @@ def run_incremental_ba(
         )
         seed_local = np.int32(local_of[seed] if in_act[seed] else 0)
         return (nb, pb), (cam_take, cam_ok, pair_take, pij, pair_ok,
-                          cpinv, seed_local, np.float32(focal_frac))
+                          cpinv, seed_local, np.float32(focal_frac),
+                          np.float32(k1_cap))
 
     # phase descriptors: incremental schedule (lambda resets per phase like
     # the reference — each incremental step calls runLevenbergMarquardt
@@ -959,7 +966,8 @@ def run_incremental_ba(
     # mean focal error coupled vs 0.01% uncoupled on a clean 100-ring)
     final_iters = cfg.max_iter_lm // len(cfg.focal_step_fracs) + 1
     descs = [
-        (phase_arrays(order[:upto], cfg.focal_step_fracs[1], True),
+        (phase_arrays(order[:upto], cfg.incremental_focal_frac, True,
+                      k1_cap=_K1_INC_STEP_CAP),
          cfg.incremental_lm_iters, upto)
         for upto in steps
     ] + [
@@ -982,7 +990,7 @@ def run_incremental_ba(
         group = descs[i:j]
         stacked = tuple(
             jnp.asarray(np.stack([g[0][1][k] for g in group]))
-            for k in range(8)
+            for k in range(9)
         )
         R_new, f_new, k1_new, costs, naccs = lm_phase_group(
             state[0], state[1], state[2], cx_d, cy_d, data, *stacked,

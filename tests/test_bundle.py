@@ -498,3 +498,33 @@ class TestStratifiedSubsample:
         d = pts[idx] - 200
         ang = np.mod(np.arctan2(d[:, 1], d[:, 0]), 2 * np.pi)
         assert ang.min() < np.pi / 3 and ang.max() > 5 * np.pi / 3
+
+
+def test_ba_narrow_fov_two_row_rig_no_focal_drift():
+    """Regression: captured from a randomized-sweep scene (2-row rig,
+    f=402, 22-deg yaw steps, 0.3-deg jitter) where BA walked the focal
+    from a near-perfect init (398.6) to 558 (+40%) at 100x the attainable
+    cost — the classic partial-graph focal random-walk the reference
+    documents as its BA-divergence artifact class (README.md:194). With
+    the tight incremental focal cap (BundleConfig.incremental_focal_frac)
+    BA must stay at the data optimum. Inputs are the captured BA arrays
+    (goldens/ba_narrowfov_2row.npz): real SIFT matches, real propagated
+    rotation init."""
+    import os
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "ba_narrowfov_2row.npz"))
+    data = bundle.BAData(
+        pair_ij=jnp.asarray(z["pair_ij"]),
+        u_i=jnp.asarray(z["u_i"]), u_j=jnp.asarray(z["u_j"]),
+        w=jnp.asarray(z["w"]), pair_valid=jnp.asarray(z["pair_valid"]),
+    )
+    f_true = float(z["f_true"])
+    _, f, _, cost = bundle.run_incremental_ba(
+        z["R_init"], z["f_init"], z["cx"], z["cy"], data, z["pairs"],
+        z["order"].tolist(), int(z["seed"]), BundleConfig(),
+    )
+    f = np.asarray(f)
+    ferr = np.abs(f - f_true).max() / f_true
+    assert ferr < 0.01, (ferr, f)
+    assert float(cost) < 200.0, float(cost)  # drifted run measured 2184
