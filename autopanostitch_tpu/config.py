@@ -74,6 +74,15 @@ class MatchingConfig:
     # stays strong exactly when the ratio test starves) plus every
     # already-accepted pair — keeping the rescue O(N*m) pairs at any N
     pairwise_rescue_m: int = 8
+    # Lowe ratio used by the rescue's per-pair re-match. The rescue runs
+    # precisely when the strict pooled test starved the graph, so it
+    # matches at Lowe's classic per-pair operating point (0.8, the IJCV
+    # paper's value) instead of the pooled threshold: on low-texture
+    # scenes (~60 keypoints/view) the extra true matches are what lift a
+    # 10-match boundary past the `ni > 8 + 0.3 nf` acceptance floor.
+    # False matches stay RANSAC/acceptance-gated, and the rescued graph
+    # is still adopted only if it connects more images.
+    pairwise_rescue_ratio: float = 0.8
     # second per-component matching pass (imageMatchingPanoramaConComps
     # re-extract/re-match, inputs.m:105 resizeImagePanoramaCluster): after
     # panorama discovery, re-match each component's members pairwise (the

@@ -316,7 +316,10 @@ def pairwise_rescue(
         return graph, comps, False
     if n <= cfg.matching.pairwise_rescue_max_images:
         cfg_pw = cfg.replace(
-            matching=dataclasses.replace(cfg.matching, match_pairwise=True)
+            matching=dataclasses.replace(
+                cfg.matching, match_pairwise=True,
+                ratio_threshold=cfg.matching.pairwise_rescue_ratio,
+            )
         )
         p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
     else:
@@ -335,7 +338,7 @@ def pairwise_rescue(
         threshold, binary = _matcher_semantics(cfg)
         idx, m_, nm = mt.match_pair_list(
             feats.desc, feats.mask, jnp.asarray(cand_pad),
-            ratio=cfg.matching.ratio_threshold,
+            ratio=cfg.matching.pairwise_rescue_ratio,
             max_matches=cfg.matching.max_matches_per_pair,
             threshold=threshold, binary=binary,
             compute_dtype=cfg.tpu.compute_dtype,
@@ -353,6 +356,12 @@ def pairwise_rescue(
     )
     graph2 = verify_matches(feats, p2, pi2, pm2, c2, cfg,
                             jax.random.fold_in(key, 3))
+    # union, not replacement: an edge the global pass verified can be
+    # missing from the re-matched graph (the wider rescue ratio changes
+    # nf, and `ni > 8 + 0.3 nf` is not monotone in nf) — both sides
+    # passed identical RANSAC + acceptance, so their union is as
+    # trustworthy as either
+    graph2 = _merge_graphs(graph, graph2)
     comps2 = connected_components(n, graph2.pairs, graph2.accepted)
 
     def stitched(c):
@@ -364,6 +373,44 @@ def pairwise_rescue(
         and len(np.unique(comps2)) < len(np.unique(comps))
     )
     return (graph2, comps2, True) if better else (graph, comps, False)
+
+
+def _merge_graphs(g1: "MatchGraph", g2: "MatchGraph") -> "MatchGraph":
+    """Union of two verified graphs: all of g2, plus g1's accepted pairs
+    that g2 did not accept (their verified H/inliers ride along). Putative
+    counts take the elementwise max."""
+    acc2 = {
+        (int(i), int(j))
+        for (i, j), a in zip(np.asarray(g2.pairs), np.asarray(g2.accepted))
+        if a
+    }
+    g1_acc = np.asarray(g1.accepted, bool)
+    keep = [
+        q for q in range(len(g1.pairs))
+        if g1_acc[q] and (int(g1.pairs[q][0]), int(g1.pairs[q][1])) not in acc2
+    ]
+    if not keep:
+        return g2
+    M = max(g1.pair_idx.shape[1], g2.pair_idx.shape[1])
+
+    def padM(x):
+        if x.shape[1] == M:
+            return np.asarray(x)
+        pads = [(0, 0)] * x.ndim
+        pads[1] = (0, M - x.shape[1])
+        return np.pad(np.asarray(x), pads)
+
+    cat = lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)])
+    return MatchGraph(
+        pairs=cat(g2.pairs, np.asarray(g1.pairs)[keep]),
+        pair_idx=cat(padM(g2.pair_idx), padM(np.asarray(g1.pair_idx)[keep])),
+        pair_mask=cat(padM(g2.pair_mask), padM(np.asarray(g1.pair_mask)[keep])),
+        H=cat(g2.H, np.asarray(g1.H)[keep]),
+        inliers=cat(padM(g2.inliers), padM(np.asarray(g1.inliers)[keep])),
+        num_inliers=cat(g2.num_inliers, np.asarray(g1.num_inliers)[keep]),
+        accepted=cat(g2.accepted, np.ones(len(keep), bool)),
+        counts=np.maximum(np.asarray(g1.counts), np.asarray(g2.counts)),
+    )
 
 
 def connected_components(n: int, pairs: np.ndarray, accepted: np.ndarray) -> np.ndarray:

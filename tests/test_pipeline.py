@@ -472,6 +472,37 @@ class TestPairwiseRescue:
         assert not pipeline._rescue_suspicious(np.zeros(6, int), votes_starved,
                                                graph)
 
+    def test_rescue_low_texture_exposure_chain(self):
+        """Regression (sweep scene 7): a LOW-TEXTURE yaw chain under
+        strong per-view exposure steps yields only ~60 keypoints/view,
+        so boundary pairs produce ~10 matches at the pooled ratio — all
+        true inliers, yet below the `ni > 8 + 0.3 nf` floor. The rescue's
+        per-pair re-match at Lowe's 0.8 ratio plus the graph UNION
+        (rescued edges + originally-accepted edges) must reconnect the
+        chain into one panorama."""
+        from autopanostitch_tpu.utils import perturb
+
+        env = synthdata.smooth_texture(54, 512, 1536, cutoff=0.054)
+        f_true, n = 380.0, 8
+        step = np.radians(23.0)
+        rng = np.random.default_rng(9)
+        views = []
+        for i in range(n):
+            R = synthdata.rot_y(i * step).T
+            v = np.asarray(synthdata.render_pinhole_from_equirect(
+                env, R, f_true, 320, 256, "bicubic"), np.float32)
+            views.append(perturb.exposure_jitter(
+                v, float(rng.uniform(-1.0, 1.0))))
+        iset = make_set(views)
+        cfg = small_cfg(planar=False).replace(
+            straighten=StraightenConfig(enabled=False),
+        )
+        res = pipeline.stitch(iset, cfg)
+        assert len(res.panoramas) == 1, [
+            len(p["members"]) for p in res.panoramas
+        ]
+        assert len(res.panoramas[0]["members"]) == n
+
     def test_rescue_keeps_correct_multi_panorama_split(self):
         """Two genuinely unrelated groups: the rescue fires (discovery is
         'fragmented') but must NOT merge them or change the result."""
