@@ -368,6 +368,25 @@ def main():
                 checkpoint(out)
             except Exception as e:
                 out[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
+    # randomized-scene robustness (the reference's "6-8% artifact rate"
+    # claim, README.md:194): the 60-scene sweep is hours-scale, so bench
+    # reports the latest checked-in sweep result (tools/robustness_sweep.py)
+    try:
+        rob_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs", "results", "robustness_r3_final.json",
+        )
+        with open(rob_path) as f:
+            rob = json.load(f)["summary"]
+        out["robustness_artifact_rate_pct"] = rob["artifact_rate_pct"]
+        out["robustness_n_scenes"] = rob["n_scenes"]
+        out["robustness_ghost_px_p99_median"] = rob["ghost_px_p99_median"]
+        out["robustness_note"] = (
+            "checked-in CPU sweep (tools/robustness_sweep.py, "
+            "estimate_distortion on); reference claims 6-8% artifacts"
+        )
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
