@@ -132,6 +132,20 @@ class ImageMatchConfig:
     # rigid/similarity/translation (5, 0.025).
     accept_alpha: Optional[float] = None
     accept_beta: Optional[float] = None
+    # Small-sample perfect-consensus acceptance (beyond the reference): a
+    # pair ALSO passes when ni >= accept_small_min AND
+    # ni >= accept_small_ratio * nf. The Brown-Lowe linear rule is the
+    # exact binomial likelihood-ratio test at p1=0.6/p0=0.1 (IJCV'07
+    # Sec 3.2; the linearized constants 8 + 0.3nf ARE the exact test), so
+    # its +8 intercept rejects starved-texture pairs whose evidence is
+    # overwhelming — e.g. 10 matches, 10 inliers: P(Binom(10, p0) >= 10)
+    # ~ 1e-10 yet 10 < 8 + 0.3*10. The branch only matters for nf <= 13
+    # (above that, 0.9*nf exceeds 8 + 0.3*nf) and its false-accept
+    # probability under the Brown-Lowe null is <= 1e-5 per pair even at a
+    # pessimistic p0=0.3. accept_small_min=None disables (exact reference
+    # behavior, imageMatching.m:150).
+    accept_small_min: Optional[int] = 8
+    accept_small_ratio: float = 0.9
     ransac_batch: int = 512  # hypotheses evaluated in parallel (TPU)
     refine_irls_iters: int = 3  # weighted-DLT refit iterations on inliers
 

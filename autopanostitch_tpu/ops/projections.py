@@ -137,6 +137,14 @@ def distort_pixels(u: Array, v: Array, k1, cx, cy, iters: int = 6):
     for _ in range(iters):
         rp2 = rq2 / jnp.maximum(1.0 + k1 * rp2, 0.25) ** 2
     fac = jnp.maximum(1.0 + k1 * rp2, 0.25)
+    # Far-outside queries have NO preimage inside the frame (the stored
+    # image's largest radius is the corner, r_p = 1, so r_q <= 1 + k1):
+    # the fixed point oscillates there and can FOLD a huge pinhole
+    # projection (a camera ~90 deg off-axis, |u| ~ f/eps_z) back inside
+    # the image bounds, making the sampler fuse garbage content with a
+    # small-but-nonzero weight. Pass those through undistorted so the
+    # downstream bounds masks reject them.
+    fac = jnp.where(rq2 > 2.25, 1.0, fac)
     return cx + dx / fac, cy + dy / fac
 
 

@@ -265,6 +265,8 @@ def _verify_chunk(
     threshold,
     accept_alpha,
     accept_beta,
+    small_min,
+    small_ratio,
     model: str = "projective",
     method: str = "ransac",
     batch: int = 512,
@@ -276,8 +278,16 @@ def _verify_chunk(
         total=total,
     )
     res = jax.vmap(one)(pair_src, pair_dst, pair_mask, keys)
+    # Brown-Lowe linear rule, plus the small-sample perfect-consensus
+    # branch (see config.ImageMatchConfig.accept_small_min): near-unanimous
+    # consensus on a tiny putative set is overwhelming evidence the linear
+    # rule's +alpha intercept cannot credit. small_min = +inf disables.
     accepted = res.success & (
-        res.num_inliers > accept_alpha + accept_beta * res.num_putative
+        (res.num_inliers > accept_alpha + accept_beta * res.num_putative)
+        | (
+            (res.num_inliers >= small_min)
+            & (res.num_inliers >= small_ratio * res.num_putative)
+        )
     )
     H_inv = jax.vmap(geo.homography_inverse)(res.H)
     return {
@@ -301,13 +311,19 @@ def verify_pairs(
     batch: int = 512,
     accept_alpha: float = 8.0,
     accept_beta: float = 0.3,
+    accept_small_min: float | None = None,
+    accept_small_ratio: float = 0.9,
     chunk: int = 64,
     total: int | None = None,
 ):
     """Verify P candidate pairs with batched RANSAC + Brown-Lowe acceptance.
 
     The probabilistic acceptance `ni > alpha + beta * nf`
-    (reference `imageMatching.m:150`, constants `:38-42`).
+    (reference `imageMatching.m:150`, constants `:38-42`), optionally
+    OR-ed with the small-sample perfect-consensus branch
+    `ni >= accept_small_min AND ni >= accept_small_ratio * nf`
+    (see `config.ImageMatchConfig.accept_small_min`; None disables —
+    exact reference behavior).
 
     Implementation note: the pair set is processed in fixed-size chunks by
     ONE jitted executable dispatched from a python loop (a lax.scan over
@@ -351,7 +367,13 @@ def verify_pairs(
             _verify_chunk(
                 ps[sl], pd[sl], pm[sl], ks[sl],
                 jnp.float32(threshold), jnp.float32(accept_alpha),
-                jnp.float32(accept_beta), model=model, method=method, batch=batch,
+                jnp.float32(accept_beta),
+                jnp.float32(
+                    float("inf") if accept_small_min is None
+                    else accept_small_min
+                ),
+                jnp.float32(accept_small_ratio),
+                model=model, method=method, batch=batch,
                 total=total,
             )
         )

@@ -124,6 +124,8 @@ def stitch_multichip(
             threshold=im.max_distance, model=im.transformation_type,
             method=im.method, batch=im.ransac_batch,
             accept_alpha=alpha, accept_beta=beta,
+            accept_small_min=im.accept_small_min,
+            accept_small_ratio=im.accept_small_ratio,
             total=rs.num_trials(im.inliers_confidence, im.transformation_type,
                                 im.max_iter),
         )

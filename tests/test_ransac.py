@@ -148,3 +148,37 @@ def test_recovers_homography_with_collinear_contamination():
     assert bool(res.success)
     err = geo.transfer_error(res.H, src[:60], dst[:60])
     assert float(jnp.median(err)) < 2.0
+
+
+def test_small_sample_perfect_consensus_acceptance():
+    """A starved-texture pair with 10 putative matches, ALL inliers, fails
+    the Brown-Lowe linear rule (10 < 8 + 0.3*10) but is overwhelming
+    evidence of a true match (P(Binom(10, p0=0.1) >= 10) ~ 1e-10): the
+    small-sample branch accepts it, a pure-noise small pair stays
+    rejected, and accept_small_min=None reproduces exact reference
+    behavior (imageMatching.m:150)."""
+    cap = 128
+    _, src, dst, _ = make_problem(11, n_inliers=10, n_outliers=0, noise=0.3)
+    mask = np.zeros(cap, bool)
+    mask[:10] = True
+    # pure-noise small pair: 10 random correspondences
+    r = np.random.default_rng(5)
+    nsrc = np.zeros((cap, 2), np.float32)
+    ndst = np.zeros((cap, 2), np.float32)
+    nsrc[:10] = r.uniform(0, 400, (10, 2))
+    ndst[:10] = r.uniform(0, 400, (10, 2))
+    srcs = jnp.stack([src, jnp.array(nsrc)])
+    dsts = jnp.stack([dst, jnp.array(ndst)])
+    masks = jnp.stack([jnp.array(mask)] * 2)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    with_branch = rs.verify_pairs(
+        srcs, dsts, masks, keys, threshold=3.0,
+        accept_small_min=8, accept_small_ratio=0.9,
+    )
+    acc = np.array(with_branch["accepted"])
+    assert acc[0], np.array(with_branch["num_inliers"])
+    assert not acc[1]
+    reference = rs.verify_pairs(
+        srcs, dsts, masks, keys, threshold=3.0, accept_small_min=None,
+    )
+    assert not np.array(reference["accepted"]).any()
