@@ -406,8 +406,14 @@ class TestPairwiseRescue:
     16 pairs / 10 fragments -> 87 pairs / ONE 30-view panorama."""
 
     def _near_duplicates(self):
+        # 7 crops shifted 6 px apart: nearly every scene point appears in
+        # 3+ views, so the pooled 2nd NN is the same point elsewhere and
+        # the global ratio test starves the graph. (The round-3 rescue
+        # union made the previous 12 px/5-view set connect globally; this
+        # tighter set still fragments without the rescue — re-verified
+        # whenever this test's premise assertion below runs.)
         env = synthdata.texture(8, 500, 700)
-        boxes = [(i * 12, 0, 480, 420) for i in range(5)]
+        boxes = [(i * 6, 0, 480, 420) for i in range(7)]
         return make_set(synthdata.planar_crops(env, boxes))
 
     def test_rescue_consolidates_near_duplicates(self):
@@ -417,8 +423,8 @@ class TestPairwiseRescue:
             matching=dataclasses.replace(cfg.matching, pairwise_rescue=False)
         )
         res_no = pipeline.stitch(iset, cfg_no)
-        # the global matcher fragments this set (if this ever starts
-        # passing, the rescue test below loses its premise — revisit)
+        # premise: the global matcher fragments this set (if this ever
+        # starts passing, tighten _near_duplicates until it fragments)
         assert len(res_no.panoramas) >= 2 or (
             res_no.panoramas
             and len(res_no.panoramas[0]["members"]) < iset.n

@@ -6,6 +6,14 @@ virtual-device setup the test suite uses, and stores the per-stage
 artifacts as .npz goldens. Re-run after an INTENDED behavior change:
 
     python tools/record_parity.py [scene ...]
+
+POLICY: goldens must be re-recorded IN THE SAME COMMIT as any change that
+alters acceptance/estimation behavior, after auditing the diff against the
+scenes' known ground truth (they are synthetic — focal/membership truth is
+available). A commit that leaves test_parity red on main is a process bug,
+not a tolerable TODO. (Round-3 postmortem: commit 014a927 changed graph
+acceptance and shipped without re-recording; the drift net stayed red for
+the rest of the round.)
 """
 
 import os
