@@ -911,7 +911,7 @@ def run_incremental_ba(
 
     R_d = jnp.asarray(R0.astype(np.float32))
     f_d = jnp.asarray(np.asarray(f_init).astype(np.float32))
-    k1_d = jnp.zeros((n,), jnp.float32)
+    k1_d = jnp.asarray(np.zeros((n,), np.float32))  # host zeros: no eager broadcast executable
     cx_d = jnp.asarray(cx.astype(np.float32))
     cy_d = jnp.asarray(cy.astype(np.float32))
     pd = 5 if with_k1 else 4
@@ -979,7 +979,7 @@ def run_incremental_ba(
     # executable — on the relay harness the per-phase dispatch round-trip
     # dominated BA wall time (see lm_phase_group)
     state = [R_d, f_d, k1_d]
-    cost = jnp.float32(0.0)
+    cost = np.float32(0.0)
     phase_costs = []  # (upto, device cost, active pair count) — synced ONCE
     i = 0
     while i < len(descs):
@@ -994,10 +994,14 @@ def run_incremental_ba(
         )
         R_new, f_new, k1_new, costs, naccs = lm_phase_group(
             state[0], state[1], state[2], cx_d, cy_d, data, *stacked,
-            jnp.float32(cfg.lambda0),
+            np.float32(cfg.lambda0),
             nb=shape[0], pb=shape[1], iters=iters, **static,
         )
         state = [R_new, f_new, k1_new]
+        # pull the per-phase scalars to host ONCE: eager `costs[-1]` /
+        # `costs[gi]` indexing compiled tiny executables per shape
+        costs = np.asarray(costs)
+        naccs = np.asarray(naccs)
         cost = costs[-1]
         for gi, (_, _, upto) in enumerate(group):
             if upto is not None:  # incremental phase: track for RMSE check
@@ -1131,7 +1135,7 @@ def run_bundle_adjustment(
         u_i=jnp.asarray(u_i),
         u_j=jnp.asarray(u_j),
         w=jnp.asarray(w),
-        pair_valid=jnp.ones((P,), bool),
+        pair_valid=jnp.asarray(np.ones((P,), bool)),
     )
 
     # ---- incremental schedule ----

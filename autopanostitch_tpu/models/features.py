@@ -8,6 +8,8 @@ where the pad edge creates false gradients) are masked out.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,26 +32,47 @@ def extract_features_streamed(
     (0.4 s of the ~1.1 s relay upload hides under extraction at 100
     images). Returns (features, images (N, H, W, 3) float32 on device) so
     the caller reuses the uploaded stack for gain/render.
+
+    The tail group is padded on HOST (numpy) so every group hits the SAME
+    jitted extraction executable; uploads stay uint8 (4x cheaper) and the
+    float conversion happens inside that executable.
     """
     N = images_np.shape[0]
     if N <= group:
-        dev = _to_float_any(jax.device_put(images_np))
-        return extract_features(dev, sizes, cfg), dev
-    handles = [
-        jax.device_put(images_np[g0 : g0 + group]) for g0 in range(0, N, group)
-    ]
-    floats = [_to_float_any(h) for h in handles]
-    outs = []
-    for k, imgs in enumerate(floats):
-        sz = np.asarray(sizes)[k * group : (k + 1) * group]
-        if imgs.shape[0] < group:
-            pad = group - imgs.shape[0]
-            imgs = jnp.pad(imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        dev = jax.device_put(images_np)
+        feats = extract_features(dev, sizes, cfg)
+        return feats, _assemble_float((dev,), N)
+    sizes = np.asarray(sizes)
+    handles, szs = [], []
+    for g0 in range(0, N, group):
+        blk = images_np[g0 : g0 + group]
+        sz = sizes[g0 : g0 + group]
+        if blk.shape[0] < group:  # host-side pad: no extra executable
+            pad = group - blk.shape[0]
+            blk = np.pad(blk, ((0, pad), (0, 0), (0, 0), (0, 0)))
             sz = np.pad(sz, ((0, pad), (0, 0)))
-        outs.append(extract_features(imgs, sz, cfg))
-    feats = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs)[:N], *outs)
-    images = jnp.concatenate(floats)[:N]
+        handles.append(jax.device_put(blk))
+        szs.append(sz)
+    outs = [extract_features(h, sz, cfg) for h, sz in zip(handles, szs)]
+    feats = _concat_feats(tuple(outs), N)
+    images = _assemble_float(tuple(handles), N)
     return feats, images
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _concat_feats(outs: tuple, n: int) -> SiftFeatures:
+    """Concat + trim the per-group feature pytrees in ONE executable (the
+    eager tree_map form cost 2 executables per SiftFeatures field)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs)[:n], *outs)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _assemble_float(handles: tuple, n: int) -> jax.Array:
+    """Concat + trim + uint8->float in ONE executable (the eager form cost
+    four relay AOT round-trips per fresh shape)."""
+    x = handles[0] if len(handles) == 1 else jnp.concatenate(handles)
+    x = x[:n]
+    return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
 
 def _to_float_any(raw: jax.Array) -> jax.Array:
@@ -91,11 +114,31 @@ def extract_features(
     'HARRIS' | 'FAST' | 'ORB' | 'BRISK' (256-bit rotated-BRIEF as {0,1}
     vectors — Hamming == squared L2, so matching is unchanged).
     Returns batched SiftFeatures with padding/border keypoints masked.
+
+    The whole stage (uint8->float, gray, optional upsample, detector,
+    border mask, coordinate scale-back) is ONE jitted executable: on the
+    TPU relay each separate eager op costs an AOT round-trip, and the
+    eager form burned ~12 executables per fresh image shape.
     """
+    levels = upsample_levels(cfg, sizes)  # host decision on numpy sizes
+    return _extract_impl(
+        images, jnp.asarray(np.asarray(sizes), jnp.int32), cfg, levels, border
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "levels", "border"))
+def _extract_impl(
+    images: jax.Array,
+    sizes: jax.Array,
+    cfg: DetectorConfig,
+    levels: int,
+    border: int,
+) -> SiftFeatures:
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     gray = sift.rgb_to_gray(images)
     det = cfg.detector.upper()
     scale_back = 1.0
-    levels = upsample_levels(cfg, sizes)
     if levels:
         # Lowe's octave -1 (and -2 for ultra-small inputs): detect on the
         # 2^levels linearly-upsampled image (halves the smallest resolvable
@@ -104,7 +147,7 @@ def extract_features(
         N, H, W = gray.shape
         s = 1 << levels
         gray = jax.image.resize(gray, (N, s * H, s * W), "linear")
-        sizes = np.asarray(sizes) * s
+        sizes = sizes * s
         scale_back = 1.0 / s
     if det in ("HARRIS", "FAST", "ORB", "BRISK"):
         from autopanostitch_tpu.ops import corners

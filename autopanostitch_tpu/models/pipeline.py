@@ -56,6 +56,22 @@ def _to_float(raw):
     return raw.astype(jnp.float32) / 255.0
 
 
+def host_prng_key(seed: int) -> jax.Array:
+    """`jax.random.PRNGKey(seed)` built on HOST (value-identical threefry
+    key data, `[seed >> 32, seed & 0xffffffff]`): the eager PRNGKey costs
+    two compiled executables — two relay AOT round-trips per process."""
+    return jnp.asarray(
+        np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], np.uint32)
+    )
+
+
+@jax.jit
+def _gather_members(images_dev, feathers_dev, members):
+    """Member-row gather as ONE executable (the eager `x[idx]` pair cost
+    ~8 tiny executables per fresh component shape)."""
+    return images_dev[members], feathers_dev[members]
+
+
 def _extract(image_set: ImageSet, cfg: StitchConfig):
     """(features, float image stack on device). Host numpy stacks go
     through the upload-overlapped streamed path (async per-group
@@ -117,28 +133,25 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig, return_votes=False):
         out = (pairs[keep], np.asarray(idx)[keep], np.asarray(m)[keep], counts)
         return out + (counts,) if return_votes else out
 
-    desc = feats.desc.reshape(N * K, D)
-    mask = feats.mask.reshape(N * K)
-    image_id = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
-    local_idx = jnp.tile(jnp.arange(K, dtype=jnp.int32), N)
-
-    nn_idx, nn_dist = mt.global_knn(
-        desc, mask, image_id, k=cfg.matching.k, block=cfg.tpu.match_block,
+    # ONE fused executable for pool + kNN + ratio test; the id/index
+    # bookkeeping stays host-side numpy (control plane, no device ops)
+    nn_idx, nn_dist, best, accepted = mt.global_match_stack(
+        feats.desc, feats.mask, k=cfg.matching.k, block=cfg.tpu.match_block,
         method=cfg.matching.method, compute_dtype=cfg.tpu.compute_dtype,
+        ratio=cfg.matching.ratio_threshold, binary=binary,
     )
-    best, accepted = mt.global_ratio_test(
-        nn_idx, nn_dist, ratio=cfg.matching.ratio_threshold, binary=binary
-    )
+    image_id = np.repeat(np.arange(N, dtype=np.int32), K)
+    local_idx = np.tile(np.arange(K, dtype=np.int32), N)
     out = mt.global_matches_to_pairs(
         np.asarray(best),
         np.asarray(accepted),
-        np.asarray(image_id),
-        np.asarray(local_idx),
+        image_id,
+        local_idx,
         N,
         cfg.matching.max_matches_per_pair,
     )
     if return_votes:
-        votes = mt.knn_votes(nn_idx, nn_dist, np.asarray(image_id), N)
+        votes = mt.knn_votes(nn_idx, nn_dist, image_id, N)
         return out + (votes,)
     return out
 
@@ -194,13 +207,17 @@ def verify_matches(
     P, M, _ = pair_idx.shape
     src = xy[pairs[:, 0][:, None], pair_idx[:, :, 0]]  # (P, M, 2)
     dst = xy[pairs[:, 1][:, None], pair_idx[:, :, 1]]
-    keys = jax.random.split(key, max(P, 1))
+    # split to a BUCKETED count (threefry splits are prefix-stable, so the
+    # first P keys are identical for any padded count) — one split
+    # executable per bucket instead of per distinct pair count
+    nb = max(64, ((P + 63) // 64) * 64)
+    keys = np.asarray(jax.random.split(key, nb))[: max(P, 1)]
     im = cfg.image_match
     alpha, beta = _acceptance(im)
     out = rs.verify_pairs(
-        jnp.asarray(src),
-        jnp.asarray(dst),
-        jnp.asarray(pair_mask),
+        src,
+        dst,
+        np.asarray(pair_mask),
         keys,
         threshold=im.max_distance,
         model=im.transformation_type,
@@ -467,7 +484,7 @@ def stitch(
     rendering in the requested projections with linear/multiband blending,
     and border / inscribed-rectangle cropping.
     """
-    key = jax.random.PRNGKey(seed)
+    key = host_prng_key(seed)
     images = None  # set by the streamed path or the plain upload below
 
     def _upload():
@@ -794,8 +811,8 @@ def stitch_component(
             image_set.images.shape[1],
             image_set.images.shape[2],
         )
-    images = images_dev[mem_d]  # device gather, no host transfer
-    feathers = feathers_dev[mem_d]
+    # device gather, no host transfer; one fused executable
+    images, feathers = _gather_members(images_dev, feathers_dev, mem_d)
 
     result: Dict = {"members": members, "ba": ba}
 
@@ -876,7 +893,17 @@ def stitch_component(
 
     cams = ba["cameras"]
     R = np.asarray(cams.R)
-    K = np.asarray(cams.K())
+    # build K on HOST (the device build_K costs ~6 eager executables and
+    # the result is consumed by the host control plane anyway)
+    f = np.asarray(cams.f)
+    cx_ = np.asarray(cams.cx)
+    cy_ = np.asarray(cams.cy)
+    K = np.zeros((len(f), 3, 3), np.float32)
+    K[:, 0, 0] = f
+    K[:, 1, 1] = f
+    K[:, 0, 2] = cx_
+    K[:, 1, 2] = cy_
+    K[:, 2, 2] = 1.0
     # per-camera radial distortion from BA (None = pinhole, the reference
     # model); the render/gain samplers map pinhole coords into the stored
     # (distorted) images so the composite is distortion-corrected

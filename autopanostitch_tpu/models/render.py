@@ -401,7 +401,8 @@ def render_tile(
     ),
 )
 def _render_tiles_batched(
-    images4: Array,  # (N, H, W, 4) RGB + feather channel
+    images: Array,  # (N, H, W, 3)
+    feathers: Array,  # (N, H, W) border feather ramps
     R: Array,
     K: Array,
     gains: Array,
@@ -429,7 +430,10 @@ def _render_tiles_batched(
     through the TPU relay costs ~27 ms of sync; at 100-image scale the
     per-tile version spent more time syncing than sampling). Memory stays
     bounded: lax.map runs tiles sequentially, the only O(canvas) buffers
-    are the uint8 output and bool coverage."""
+    are the uint8 output and bool coverage. The feather concat happens
+    inside this executable (a separate eager concat cost one more relay
+    AOT round-trip per fresh shape)."""
+    images4 = jnp.concatenate([images, feathers[..., None]], axis=-1)
 
     def one(args):
         s, ok, org = args
@@ -626,7 +630,6 @@ def render_rotational(
     )
     C = sel.shape[1]
 
-    imgs4_d = _concat_feather(jnp.asarray(images), jnp.asarray(feathers))
     R_d = jnp.asarray(R.astype(np.float32))
     K_d = jnp.asarray(K.astype(np.float32))
     g_d = jnp.asarray(gains.astype(np.float32))
@@ -635,7 +638,7 @@ def render_rotational(
     tr = (Hc + th - 1) // th
     tc = (Wc + tw - 1) // tw
     pano_d, cover_d = _render_tiles_batched(
-        imgs4_d, R_d, K_d, g_d,
+        jnp.asarray(images), jnp.asarray(feathers), R_d, K_d, g_d,
         jnp.asarray(sel), jnp.asarray(sel_ok), jnp.asarray(origins),
         canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
         canvas["mode"], tr, tc, th, tw, blend_mode, bands, angle_power,

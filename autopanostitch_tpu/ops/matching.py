@@ -29,7 +29,9 @@ import numpy as np
 
 Array = jax.Array
 
-_BIG = jnp.float32(1e18)
+# numpy scalar, not jnp: a module-level jnp constant compiles a tiny
+# convert_element_type executable at import (one relay AOT round-trip)
+_BIG = np.float32(1e18)
 
 
 def pairwise_sqdist(a: Array, b: Array, compute_dtype=jnp.float32) -> Array:
@@ -325,6 +327,36 @@ def global_knn(
     )
     _, (nn_idx, nn_dist) = jax.lax.scan(step, None, q_blocks)
     return nn_idx.reshape(Fpad, k)[:F], nn_dist.reshape(Fpad, k)[:F]
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "block", "method", "compute_dtype", "ratio", "binary"))
+def global_match_stack(
+    desc: Array,  # (N, K, D) per-image descriptor stack
+    mask: Array,  # (N, K)
+    k: int = 4,
+    block: int = 1024,
+    method: str = "exhaustive",
+    compute_dtype: str = "float32",
+    ratio: float = 0.6,
+    binary: bool = False,
+):
+    """Pool + global kNN + ratio test in ONE executable.
+
+    Fuses the eager glue around :func:`global_knn` (reshapes, image-id
+    iota, ratio comparisons) that otherwise costs ~10 separate relay AOT
+    round-trips per fresh (N, K, D) shape. Returns
+    (nn_idx (F, k), nn_dist (F, k), best (F,), accepted (F,)) with
+    F = N * K; the host keeps image_id/local_idx as numpy.
+    """
+    N, K, D = desc.shape
+    image_id = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
+    nn_idx, nn_dist = global_knn(
+        desc.reshape(N * K, D), mask.reshape(N * K), image_id,
+        k=k, block=block, method=method, compute_dtype=compute_dtype,
+    )
+    best, accepted = global_ratio_test(nn_idx, nn_dist, ratio=ratio, binary=binary)
+    return nn_idx, nn_dist, best, accepted
 
 
 def global_ratio_test(

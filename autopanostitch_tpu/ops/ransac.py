@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from autopanostitch_tpu.ops import geometry as geo
 
@@ -342,22 +343,31 @@ def verify_pairs(
     if P == 0:
         # No candidate pairs (unrelated images, single-image sets): return
         # correctly-shaped empties instead of crashing on outs[0].
-        f32, i32 = jnp.float32, jnp.int32
+        zp = np if isinstance(pair_mask, np.ndarray) else jnp
         return {
-            "H": jnp.zeros((0, 3, 3), f32),
-            "H_inv": jnp.zeros((0, 3, 3), f32),
-            "inliers": jnp.zeros((0, M), bool),
-            "num_inliers": jnp.zeros((0,), i32),
-            "num_putative": jnp.zeros((0,), i32),
-            "accepted": jnp.zeros((0,), bool),
+            "H": zp.zeros((0, 3, 3), zp.float32),
+            "H_inv": zp.zeros((0, 3, 3), zp.float32),
+            "inliers": zp.zeros((0, M), bool),
+            "num_inliers": zp.zeros((0,), zp.int32),
+            "num_putative": zp.zeros((0,), zp.int32),
+            "accepted": zp.zeros((0,), bool),
         }
     chunk = max(1, min(chunk, P))
     nchunks = (P + chunk - 1) // chunk
     Ppad = nchunks * chunk
 
-    def pad(x):
-        return jnp.pad(x, [(0, Ppad - P)] + [(0, 0)] * (x.ndim - 1))
+    # Host (numpy) inputs pad/slice/stitch on host: the eager jnp forms
+    # compiled ~10 tiny executables per fresh pair-count, each one a relay
+    # AOT round-trip. Traced/device inputs (sharded paths call this inside
+    # jit) keep the jnp forms — there it is all one executable anyway.
+    host = isinstance(pair_mask, np.ndarray)
+    xp = np if host else jnp
 
+    def pad(x):
+        return xp.pad(x, [(0, Ppad - P)] + [(0, 0)] * (x.ndim - 1))
+
+    if host:
+        keys = np.asarray(keys)
     ps, pd, pm, ks = pad(pair_src), pad(pair_dst), pad(pair_mask), pad(keys)
 
     outs = []
@@ -366,17 +376,22 @@ def verify_pairs(
         outs.append(
             _verify_chunk(
                 ps[sl], pd[sl], pm[sl], ks[sl],
-                jnp.float32(threshold), jnp.float32(accept_alpha),
-                jnp.float32(accept_beta),
-                jnp.float32(
+                np.float32(threshold), np.float32(accept_alpha),
+                np.float32(accept_beta),
+                np.float32(
                     float("inf") if accept_small_min is None
                     else accept_small_min
                 ),
-                jnp.float32(accept_small_ratio),
+                np.float32(accept_small_ratio),
                 model=model, method=method, batch=batch,
                 total=total,
             )
         )
+    if host:  # sync once at the end; chunk dispatches stay pipelined
+        return {
+            key: np.concatenate([np.asarray(o[key]) for o in outs], axis=0)[:P]
+            for key in outs[0]
+        }
     return {
         key: jnp.concatenate([o[key] for o in outs], axis=0)[:P] for key in outs[0]
     }

@@ -240,7 +240,7 @@ def sharded_render_tiles(
     import numpy as np
 
     from autopanostitch_tpu.models.render import (
-        _concat_feather, _render_tile_impl, fit_tile, tile_contributors,
+        _render_tile_impl, fit_tile, tile_contributors,
     )
 
     Hc, Wc = canvas["Hc"], canvas["Wc"]
@@ -268,7 +268,8 @@ def sharded_render_tiles(
             [origins, np.full((padT, 2), float(max(Hc, Wc) + th + tw))]
         )
 
-    imgs4 = _concat_feather(jnp.asarray(images), jnp.asarray(feathers))
+    imgs_d = jnp.asarray(images)
+    fea_d = jnp.asarray(feathers)
     R_d = jnp.asarray(np.asarray(R, np.float32).reshape(-1, 3, 3))
     K_d = jnp.asarray(np.asarray(K, np.float32).reshape(-1, 3, 3))
     g_d = jnp.asarray(np.asarray(gains, np.float32))
@@ -286,7 +287,9 @@ def sharded_render_tiles(
         else jnp.asarray(np.asarray(k1, np.float32).reshape(-1))
     )
 
-    def local(imgs4, R_, K_, g_, k1_, sel_l, ok_l, org_l):
+    def local(imgs, fea, R_, K_, g_, k1_, sel_l, ok_l, org_l):
+        imgs4 = jnp.concatenate([imgs, fea[..., None]], axis=-1)
+
         def one(args):
             s, ok, org = args
             return _render_tile_impl(
@@ -299,11 +302,11 @@ def sharded_render_tiles(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
     )
     tiles, covs = jax.jit(fn)(
-        imgs4, R_d, K_d, g_d, k1_d,
+        imgs_d, fea_d, R_d, K_d, g_d, k1_d,
         jnp.asarray(sel[order]), jnp.asarray(sel_ok[order]),
         jnp.asarray(origins[order], jnp.float32),
     )
