@@ -10,35 +10,96 @@ BASELINE.json metrics:
     bicubic, compared against the gauge-aligned ground-truth environment
     lookup (north star: < 5 s at >= 40 dB).
 
-vs_baseline: the MATLAB reference publishes no numbers (BASELINE.md); we
-compare against a conservative ESTIMATE of 0.1 Mpix/s for the reference's
-per-dataset wall time at its default operating point (800x800 inputs,
-minutes-scale end-to-end runs per its own README performance remarks).
+BUDGET DISCIPLINE (round-3 lesson: the driver's run timed out before the
+JSON line was printed, leaving the round without an official number):
+  - A hard internal wall-clock budget (AUTOPANO_BENCH_BUDGET_S, default
+    840 s) gates every section: sections run most-valuable-first and are
+    skipped (with a note) when the remaining budget is smaller than their
+    calibrated cost.
+  - The final JSON line is GUARANTEED: an atexit hook, SIGTERM/SIGINT
+    handlers, and a SIGALRM scheduled at the budget horizon all print the
+    checkpointed dict exactly once — even if a section hangs or the driver
+    kills the process.
+  - PARALLEL PREWARM: every section's pipeline is first run once in
+    concurrent threads. The axon relay compiles DISTINCT executables
+    concurrently (measured ~3x for 3 threads), and its per-executable AOT
+    latency swings minute-to-minute (0.3 s ... 40+ s for the same
+    program), so overlapping all sections' compiles both shortens and
+    de-risks the run. The measured sections then hit warm caches.
 
-`compile_s` note: the JAX persistent compilation cache is enabled and
-populated, but this harness reaches the TPU through the axon relay whose
-server-side AOT compiler bypasses it — a trivial one-op jit costs ~17 s in
-ANY fresh process (session setup + compile round trip), so the ~2 min
-first-stitch number is relay round-trips per executable, not XLA work.
-On a directly-attached TPU host the cache works as designed.
+vs_baseline: measured against this repo's ROUND-2 driver-captured number
+(1.111 Mpix/s, BENCH_r02.json) — the reference publishes no numbers
+(BASELINE.md), so progress-vs-self is the only honest comparator.
+
+`prewarm_s` note: the JAX persistent compilation cache is enabled but the
+relay's server-side AOT bypasses it (re-verified on this toolchain), so
+prewarm time is relay AOT round-trips per executable, not XLA work. The
+round-4 executable-count reduction (69 -> 14 for the 6-view stitch)
+attacks the same term.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
-REFERENCE_EST_MPIX_S = 0.1  # estimate, not a published number
+R2_BASELINE_MPIX_S = 1.111  # BENCH_r02.json driver-captured value
+
+BUDGET_S = float(os.environ.get("AUTOPANO_BENCH_BUDGET_S", 840))
+_T0 = time.time()
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+_out = {"metric": "e2e_stitch_mpix_per_sec", "unit": "Mpix/s", "value": 0.0}
+_emitted = False
+
+
+def _emit():
+    global _emitted
+    if not _emitted:
+        _emitted = True
+        _out["bench_wall_s"] = round(time.time() - _T0, 1)
+        print(json.dumps(_out), flush=True)
+
+
+def _on_signal(signum, frame):
+    _out["bench_interrupted"] = signal.Signals(signum).name
+    _emit()
+    os._exit(0)
+
+
+def _left() -> float:
+    return BUDGET_S - (time.time() - _T0)
 
 
 def _timed(fn):
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def _relay_sync_overhead_s(n: int = 5) -> float:
+    """Median cost of one trivial dispatch+sync: the per-stage relay tax.
+
+    Subtracted from single-dispatch stage walls to estimate device time
+    (the `*_device_s` twins). On a directly-attached host this is ~0."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    f(x).block_until_ready()  # compile outside the measurement
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def load_views():
@@ -56,7 +117,18 @@ def load_views():
     return views
 
 
-def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMatchConfig, ImageSet):
+# ---------------------------------------------------------------------------
+# Section input builders (shared by the parallel prewarm and the measured
+# sections, so the prewarm compiles EXACTLY the executables the
+# measurements hit)
+# ---------------------------------------------------------------------------
+
+def build_6view():
+    from autopanostitch_tpu.config import (
+        DetectorConfig, ImageMatchConfig, MatchingConfig, StitchConfig,
+    )
+    from autopanostitch_tpu.utils.image_io import ImageSet
+
     views = load_views()
     sizes = np.array([v.shape[:2] for v in views], np.int32)
     stack = (np.stack(views) * 255).astype(np.uint8)  # 4x cheaper upload
@@ -66,17 +138,91 @@ def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMat
         matching=MatchingConfig(max_matches_per_pair=512),
         image_match=ImageMatchConfig(ransac_batch=512),
     )
+    return {"iset": iset, "cfg": cfg, "stack": stack, "sizes": sizes}
+
+
+def build_pano(n_views: int):
+    import synthdata
+
+    from autopanostitch_tpu.config import (
+        BlendConfig, DetectorConfig, ImageMatchConfig, MatchingConfig,
+        RenderConfig, StitchConfig, StraightenConfig,
+    )
+    from autopanostitch_tpu.utils.image_io import ImageSet
+
+    env = synthdata.smooth_texture(7, 768, 2048)
+    f_true = 350.0
+    w, h = 384, 288
+    yaw = 2 * np.pi / n_views
+    views, Rs = [], []
+    for i in range(n_views):
+        R = synthdata.rot_y(i * yaw).T
+        views.append(synthdata.render_pinhole_from_equirect(env, R, f_true, w, h, "bicubic"))
+        Rs.append(R)
+    stack = (np.stack(views) * 255).astype(np.uint8)
+    sizes = np.tile(np.array([h, w], np.int32), (n_views, 1))
+    iset = ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(n_views)])
+    cfg = StitchConfig(
+        detector=DetectorConfig(max_keypoints=512, num_octaves=3),
+        matching=MatchingConfig(max_matches_per_pair=256),
+        # 256 RANSAC trials: the clean synthetic ring has ~80% inlier pairs,
+        # where the adaptive formula needs ~14 trials — 256 is ample margin
+        image_match=ImageMatchConfig(ransac_batch=256, max_iter=256),
+        straighten=StraightenConfig(enabled=False),
+        # interpolation left at the config default (bicubic2x: measured
+        # PSNR-identical to bicubic at ~0.4x the render time)
+        render=RenderConfig(projections=("spherical",)),
+        blend=BlendConfig(mode="multiband"),
+    )
+    return {
+        "iset": iset, "cfg": cfg, "stack": stack, "sizes": sizes,
+        "env": env, "Rs": np.stack(Rs), "f_true": f_true, "n_views": n_views,
+    }
+
+
+def build_church():
+    import dataclasses
+
+    from autopanostitch_tpu.config import StitchConfig
+    from autopanostitch_tpu.utils import real_data
+    from autopanostitch_tpu.utils.image_io import load_image_set
+
+    cfg = StitchConfig()
+    cfg = cfg.replace(render=dataclasses.replace(
+        cfg.render, height_limit=480, width_limit=480))
+    iset = load_image_set(real_data.church_paths(), 480, 480)
+    return {"iset": iset, "cfg": cfg}
+
+
+def build_sheet(sheet: str):
+    """A reference capture sheet with the DEFAULT config (second_pass and
+    pairwise_rescue both on — round-3 had to disable second_pass to dodge
+    relay compile cost; the round-4 executable-count reduction plus the
+    parallel prewarm make the default path affordable)."""
+    from autopanostitch_tpu.config import StitchConfig
+    from autopanostitch_tpu.utils import real_data
+
+    tiles = real_data.load_montage_tiles(sheet)
+    iset = real_data.image_set_from_arrays(tiles, 800, 800)
+    return {"iset": iset, "cfg": StitchConfig(), "n_tiles": len(tiles)}
+
+
+# ---------------------------------------------------------------------------
+# Measured sections
+# ---------------------------------------------------------------------------
+
+def bench_6view(pipeline, b):
+    iset, cfg, stack, sizes = b["iset"], b["cfg"], b["stack"], b["sizes"]
     t0 = time.time()
     res = pipeline.stitch(iset, cfg)
-    compile_s = time.time() - t0
+    first_s = time.time() - t0  # ~steady after prewarm
     # min of 3: relay round-trip jitter is +-30% run to run
     steady_s = min(
-        _timed(lambda: pipeline.stitch(iset, cfg)) for _ in range(3)
+        first_s, *(_timed(lambda: pipeline.stitch(iset, cfg)) for _ in range(2))
     )
     res = pipeline.stitch(iset, cfg)
 
     # SIFT keypoints/sec: batched extraction alone, steady state
-    import jax
     import jax.numpy as jnp
 
     from autopanostitch_tpu.models import features as features_stage
@@ -93,8 +239,8 @@ def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMat
     return {
         "value": round(mpix / steady_s, 3),
         "steady_s": round(steady_s, 3),
-        "compile_s": round(compile_s, 1),
-        "n_images": len(views),
+        "first_after_prewarm_s": round(first_s, 2),
+        "n_images": stack.shape[0],
         "n_keypoints": n_kp,
         "sift_kps_per_sec": round(n_kp / sift_s, 0),
         "n_panoramas": len(res.panoramas),
@@ -102,158 +248,12 @@ def bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig, ImageMat
     }
 
 
-def bench_real(pipeline, StitchConfig, ImageSet):
-    """Asset gate for the real-photograph sections (`_bench_church` /
-    `_bench_cmu0` / `_bench_grandcanyon`, each isolated in main so a late
-    failure cannot discard already-measured entries)."""
-    from autopanostitch_tpu.utils import real_data
-
-    if not real_data.have_reference_assets():
-        return {"real_error": "reference assets not present"}
-    return {}
-
-
-def _bench_church(pipeline, StitchConfig, out):
-    import dataclasses
-
-    from autopanostitch_tpu.utils import real_data
-    from autopanostitch_tpu.utils.image_io import load_image_set
-
-    # church trio: 3 real overlapping renderings -> ONE panorama
-    cfg = StitchConfig()
-    cfg = cfg.replace(render=dataclasses.replace(
-        cfg.render, height_limit=480, width_limit=480))
-    iset = load_image_set(real_data.church_paths(), 480, 480)
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg)
-    out["church_first_s"] = round(time.time() - t0, 2)  # includes compiles
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg)
-    church_s = time.time() - t0
-    pano = res.panoramas[0] if res.panoramas else None
-    out["church_s"] = round(church_s, 2)
-    out["church_n_panoramas"] = len(res.panoramas)
-    out["church_members"] = (
-        sorted(pano["members"].tolist()) if pano is not None else []
-    )
-    if pano is not None:
-        cov_by_mode = pano.get("coverage_by_mode") or {}
-        cov = next(iter(cov_by_mode.values()), None)
-        if cov is not None:
-            out["church_coverage"] = round(float(np.asarray(cov).mean()), 3)
-
-
-def _bench_cmu0(pipeline, StitchConfig, out):
-    import dataclasses
-
-    from autopanostitch_tpu.utils import real_data
-
-    # CMU0 sheet: 38 real photos. second_pass=False (the per-component
-    # second pass re-extracts at many distinct shapes — minutes of relay
-    # AOT compile for unchanged discovery metrics; covered by
-    # tests/test_real_images.py). pairwise_rescue stays ON: it is what
-    # consolidates the sheet into ONE ~360-degree panorama of 37/38
-    # photos (measured r3; global-only fragments into 7).
-    cfg0 = StitchConfig()
-    cfg0 = cfg0.replace(matching=dataclasses.replace(
-        cfg0.matching, second_pass=False))
-    tiles = real_data.load_montage_tiles("CMU0")
-    iset = real_data.image_set_from_arrays(tiles, 800, 800)
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg0)
-    out["cmu0_first_s"] = round(time.time() - t0, 2)  # includes compiles
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg0)
-    out["cmu0_s"] = round(time.time() - t0, 2)
-    out["cmu0_n_images"] = len(tiles)
-    out["cmu0_n_panoramas"] = len(res.panoramas)
-    sizes = sorted((len(p["members"]) for p in res.panoramas), reverse=True)
-    out["cmu0_panorama_sizes"] = sizes
-    out["cmu0_images_stitched"] = int(sum(sizes))
-    out["cmu0_accepted_pairs"] = int(np.asarray(res.graph.accepted).sum())
-
-
-def _bench_grandcanyon(pipeline, StitchConfig, out):
-    import dataclasses
-
-    from autopanostitch_tpu.utils import real_data
-
-    cfg0 = StitchConfig()
-    cfg0 = cfg0.replace(matching=dataclasses.replace(
-        cfg0.matching, second_pass=False))
-    # Grand Canyon sheet: ALL 35 real photos must stitch into ONE panorama
-    # (measured r3: 53 accepted pairs, single 35-view component)
-    tiles = real_data.load_montage_tiles("grandcanyon")
-    iset = real_data.image_set_from_arrays(tiles, 800, 800)
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg0)
-    out["grandcanyon_s"] = round(time.time() - t0, 2)
-    out["grandcanyon_n_images"] = len(tiles)
-    out["grandcanyon_n_panoramas"] = len(res.panoramas)
-    out["grandcanyon_largest"] = max(
-        (len(p["members"]) for p in res.panoramas), default=0
-    )
-
-
-def _bench_yellowstone(pipeline, StitchConfig, out):
-    import dataclasses
-
-    from autopanostitch_tpu.utils import real_data
-
-    # Yellowstone sheet: a 2-ROW capture rig of 22 real photos (the sheet's
-    # 23rd slot is a blank slice, trimmed) — the 2-D match-graph +
-    # multi-row renderer proof on real data (measured r3: ONE panorama
-    # from all 22)
-    cfg0 = StitchConfig()
-    cfg0 = cfg0.replace(matching=dataclasses.replace(
-        cfg0.matching, second_pass=False))
-    tiles = real_data.load_montage_tiles("yellowstone")
-    iset = real_data.image_set_from_arrays(tiles, 800, 800)
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg0)
-    out["yellowstone_s"] = round(time.time() - t0, 2)
-    out["yellowstone_n_images"] = len(tiles)
-    out["yellowstone_n_panoramas"] = len(res.panoramas)
-    out["yellowstone_largest"] = max(
-        (len(p["members"]) for p in res.panoramas), default=0
-    )
-
-
-def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
-                  ImageMatchConfig, ImageSet, n_views=100):
-    """North-star workload: 100-view 360x~50 spherical pano, PSNR vs GT."""
+def bench_pano(pipeline, b):
+    """North-star workload: n-view 360x~50 spherical pano, PSNR vs GT."""
     import synthdata
 
-    from autopanostitch_tpu.config import BlendConfig, RenderConfig, StraightenConfig
-
-    env = synthdata.smooth_texture(7, 768, 2048)
-    f_true = 350.0
-    w, h = 384, 288
-    yaw = 2 * np.pi / n_views
-    views, Rs = [], []
-    for i in range(n_views):
-        R = synthdata.rot_y(i * yaw).T
-        views.append(synthdata.render_pinhole_from_equirect(env, R, f_true, w, h, "bicubic"))
-        Rs.append(R)
-    Rs = np.stack(Rs)
-    stack = (np.stack(views) * 255).astype(np.uint8)
-    sizes = np.tile(np.array([h, w], np.int32), (n_views, 1))
-    iset = ImageSet(images=stack, sizes=sizes, names=[f"v{k}" for k in range(n_views)])
-    cfg = StitchConfig(
-        detector=DetectorConfig(max_keypoints=512, num_octaves=3),
-        matching=MatchingConfig(max_matches_per_pair=256),
-        # 256 RANSAC trials: the clean synthetic ring has ~80% inlier pairs,
-        # where the adaptive formula needs ~14 trials — 256 is ample margin
-        image_match=ImageMatchConfig(ransac_batch=256, max_iter=256),
-        straighten=StraightenConfig(enabled=False),
-        # interpolation left at the config default (bicubic2x: measured
-        # PSNR-identical to bicubic at ~0.4x the render time)
-        render=RenderConfig(projections=("spherical",)),
-        blend=BlendConfig(mode="multiband"),
-    )
-    t0 = time.time()
-    res = pipeline.stitch(iset, cfg)
-    compile_s = time.time() - t0
+    iset, cfg, stack, sizes = b["iset"], b["cfg"], b["stack"], b["sizes"]
+    env, Rs, f_true, n_views = b["env"], b["Rs"], b["f_true"], b["n_views"]
     t0 = time.time()
     res = pipeline.stitch(iset, cfg)
     steady_s = time.time() - t0
@@ -263,6 +263,7 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     # a StageTimer so the driver JSON gets the per-stage breakdown.
     import jax.numpy as jnp
 
+    from autopanostitch_tpu.utils.image_io import ImageSet
     from autopanostitch_tpu.utils.timing import StageTimer
 
     iset_dev = ImageSet(images=jnp.asarray(stack), sizes=sizes, names=iset.names)
@@ -275,6 +276,15 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     stage_breakdown = {}
     for k, v in timer.durations:  # sum repeats (one entry per component)
         stage_breakdown[k] = round(stage_breakdown.get(k, 0.0) + v, 3)
+    # `*_device_s` twins (VERDICT r3 item 6): stage wall minus the measured
+    # per-dispatch relay sync tax. Exact for single-dispatch stages
+    # (features/matching/verify/gain/render each sync once); an UPPER bound
+    # on device time for the BA stage, whose grouped LM phases make several
+    # dispatches (ROUND3.md measured 0.09 s device inside 0.73 s wall).
+    sync_s = _relay_sync_overhead_s()
+    stage_device = {
+        k: round(max(0.0, v - sync_s), 3) for k, v in stage_breakdown.items()
+    }
 
     pr = res.panoramas[0]
     pano = pr["projections"]["spherical"]
@@ -302,92 +312,211 @@ def bench_pano100(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
     return {
         f"{pre}_s": round(steady_s, 3),
         f"{pre}_dev_resident_s": round(dev_s, 3),
-        f"{pre}_compile_s": round(compile_s, 1),
         f"{pre}_psnr_db": round(psnr, 2),
         f"{pre}_ferr_pct": round(float(np.abs(f_est - f_true).max() / f_true * 100), 4),
         f"{pre}_n_views": n_views,
         f"{pre}_canvas": [int(pano.shape[0]), int(pano.shape[1])],
         f"{pre}_coverage": round(float(np.mean(cover)), 3),
         f"{pre}_stage_s": stage_breakdown,
+        f"{pre}_stage_device_s": stage_device,
+        f"{pre}_relay_sync_ms": round(sync_s * 1000, 1),
     }
 
 
+def bench_church(pipeline, b, out):
+    # church trio: 3 real overlapping renderings -> ONE panorama
+    iset, cfg = b["iset"], b["cfg"]
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    church_s = time.time() - t0
+    pano = res.panoramas[0] if res.panoramas else None
+    out["church_s"] = round(church_s, 2)
+    out["church_n_panoramas"] = len(res.panoramas)
+    out["church_members"] = (
+        sorted(pano["members"].tolist()) if pano is not None else []
+    )
+    if pano is not None:
+        cov_by_mode = pano.get("coverage_by_mode") or {}
+        cov = next(iter(cov_by_mode.values()), None)
+        if cov is not None:
+            out["church_coverage"] = round(float(np.asarray(cov).mean()), 3)
+
+
+def bench_cmu0(pipeline, b, out):
+    # CMU0 sheet: 38 real photos, DEFAULT config. The pairwise rescue is
+    # what consolidates the sheet into ONE ~360-degree panorama of 37/38
+    # photos (global-only: 7 fragments).
+    iset, cfg = b["iset"], b["cfg"]
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    out["cmu0_s"] = round(time.time() - t0, 2)
+    out["cmu0_n_images"] = b["n_tiles"]
+    out["cmu0_n_panoramas"] = len(res.panoramas)
+    sizes = sorted((len(p["members"]) for p in res.panoramas), reverse=True)
+    out["cmu0_panorama_sizes"] = sizes
+    out["cmu0_images_stitched"] = int(sum(sizes))
+    out["cmu0_accepted_pairs"] = int(np.asarray(res.graph.accepted).sum())
+
+
+def bench_sheet_named(pipeline, b, out, name):
+    # Grand Canyon: ALL 35 photos -> ONE panorama (measured r3);
+    # Yellowstone: 2-ROW rig, all 22 -> ONE panorama (measured r3).
+    iset, cfg = b["iset"], b["cfg"]
+    t0 = time.time()
+    res = pipeline.stitch(iset, cfg)
+    out[f"{name}_s"] = round(time.time() - t0, 2)
+    out[f"{name}_n_images"] = b["n_tiles"]
+    out[f"{name}_n_panoramas"] = len(res.panoramas)
+    out[f"{name}_largest"] = max(
+        (len(p["members"]) for p in res.panoramas), default=0
+    )
+
+
 def main():
+    atexit.register(_emit)
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    # hard horizon: even a hung section cannot suppress the JSON line
+    signal.signal(signal.SIGALRM, _on_signal)
+    signal.alarm(int(BUDGET_S) + 30)
+
     from autopanostitch_tpu.utils import compile_cache
 
     compile_cache.enable()
 
-    from autopanostitch_tpu.config import (
-        DetectorConfig,
-        ImageMatchConfig,
-        MatchingConfig,
-        StitchConfig,
-    )
     from autopanostitch_tpu.models import pipeline
-    from autopanostitch_tpu.utils.image_io import ImageSet
+    from autopanostitch_tpu.utils import real_data
 
-    def checkpoint(out):
-        # a full bench run is ~20 min of relay compiles; persist progress
-        # so a truncated run still leaves the measured sections on disk
+    def checkpoint():
+        # persist progress so a truncated run still leaves the measured
+        # sections on disk (and _emit always has the latest dict)
         try:
             with open("bench_partial.json", "w") as f:
-                json.dump(out, f)
+                json.dump(_out, f)
         except OSError:
             pass
 
-    out = {"metric": "e2e_stitch_mpix_per_sec", "unit": "Mpix/s"}
-    r6 = bench_6view(pipeline, StitchConfig, DetectorConfig, MatchingConfig,
-                     ImageMatchConfig, ImageSet)
-    out.update(r6)
-    out["vs_baseline"] = round(r6["value"] / REFERENCE_EST_MPIX_S, 2)
-    out["vs_baseline_note"] = "estimate; reference publishes no numbers"
-    checkpoint(out)
-    try:
-        out.update(bench_pano100(pipeline, StitchConfig, DetectorConfig,
-                                 MatchingConfig, ImageMatchConfig, ImageSet))
-    except Exception as e:  # never lose the headline metric
-        out["pano100_error"] = f"{type(e).__name__}: {e}"[:200]
-    checkpoint(out)
-    try:  # scaling point: 200 views (VERDICT r2 item 4)
-        out.update(bench_pano100(pipeline, StitchConfig, DetectorConfig,
-                                 MatchingConfig, ImageMatchConfig, ImageSet,
-                                 n_views=200))
-    except Exception as e:
-        out["pano200_error"] = f"{type(e).__name__}: {e}"[:200]
-    checkpoint(out)
-    # real photographs (VERDICT r2 item 1): each dataset isolated so a
-    # late failure cannot discard already-measured entries
-    real = bench_real(pipeline, StitchConfig, ImageSet)
-    out.update(real)
-    if "real_error" not in real:
-        for label, fn in (("church", _bench_church), ("cmu0", _bench_cmu0),
-                          ("grandcanyon", _bench_grandcanyon),
-                          ("yellowstone", _bench_yellowstone)):
-            try:
-                fn(pipeline, StitchConfig, out)
-                checkpoint(out)
-            except Exception as e:
-                out[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
+    have_real = real_data.have_reference_assets()
+    if not have_real:
+        _out["real_error"] = "reference assets not present"
+
+    builders = [
+        ("6view", build_6view),
+        ("pano100", lambda: build_pano(100)),
+        ("cmu0", lambda: build_sheet("CMU0")),
+        ("church", build_church),
+        ("pano200", lambda: build_pano(200)),
+        ("grandcanyon", lambda: build_sheet("grandcanyon")),
+        ("yellowstone", lambda: build_sheet("yellowstone")),
+    ]
+    real_names = {"cmu0", "church", "grandcanyon", "yellowstone"}
+    built = {}
+    for name, mk in builders:
+        if name in real_names and not have_real:
+            continue
+        try:
+            built[name] = mk()
+        except Exception as e:
+            _out[f"{name}_error"] = f"build {type(e).__name__}: {e}"[:200]
+
+    # ---- PHASE A: parallel prewarm (overlap the relay's per-executable
+    # AOT; distinct executables compile concurrently) ----
+    t0 = time.time()
+    prewarm_deadline = _T0 + BUDGET_S * 0.75
+
+    def _warm(b):
+        try:
+            pipeline.stitch(b["iset"], b["cfg"])
+        except Exception:
+            pass  # the measured section will report the error
+
+    warm_threads = {
+        n: threading.Thread(target=_warm, args=(b,), daemon=True, name=f"warm-{n}")
+        for n, b in built.items()
+    }
+    for t in warm_threads.values():
+        t.start()
+    for t in warm_threads.values():
+        t.join(timeout=max(1.0, prewarm_deadline - time.time()))
+    still = [t.name for t in warm_threads.values() if t.is_alive()]
+    _out["prewarm_s"] = round(time.time() - t0, 1)
+    if still:
+        _out["prewarm_timed_out"] = still
+
+    # ---- PHASE B: sequential measured sections, budget-gated ----
+    def sec_6view():
+        r6 = bench_6view(pipeline, built["6view"])
+        _out.update(r6)
+        _out["vs_baseline"] = round(r6["value"] / R2_BASELINE_MPIX_S, 2)
+        _out["vs_baseline_note"] = (
+            "vs this repo's round-2 driver-captured 1.111 Mpix/s; the "
+            "MATLAB reference publishes no numbers (BASELINE.md)"
+        )
+
+    sections = [
+        ("6view", sec_6view, 40),
+        ("pano100", lambda: _out.update(bench_pano(pipeline, built["pano100"])), 60),
+        ("cmu0", lambda: bench_cmu0(pipeline, built["cmu0"], _out), 90),
+        ("church", lambda: bench_church(pipeline, built["church"], _out), 30),
+        ("pano200", lambda: _out.update(bench_pano(pipeline, built["pano200"])), 90),
+        ("grandcanyon",
+         lambda: bench_sheet_named(pipeline, built["grandcanyon"], _out, "grandcanyon"), 60),
+        ("yellowstone",
+         lambda: bench_sheet_named(pipeline, built["yellowstone"], _out, "yellowstone"), 60),
+    ]
+    skipped = []
+    for name, fn, est in sections:
+        if name not in built:
+            continue
+        if _left() < est:
+            skipped.append(name)
+            continue
+        # a still-compiling warm thread (its own OR another section's)
+        # contends with the measurement — wait for this section's thread
+        # first, then give stragglers a short grace so steady timings are
+        # not polluted by background AOT traffic
+        wt = warm_threads.get(name)
+        if wt is not None and wt.is_alive():
+            wt.join(timeout=max(1.0, _left() - est))
+        for other in warm_threads.values():
+            if other.is_alive():
+                other.join(timeout=5.0)
+        try:
+            fn()
+        except Exception as e:  # never lose earlier sections
+            _out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        checkpoint()
+    if skipped:
+        _out["sections_skipped_for_budget"] = skipped
+    _out["budget_s"] = BUDGET_S
+
     # randomized-scene robustness (the reference's "6-8% artifact rate"
     # claim, README.md:194): the 60-scene sweep is hours-scale, so bench
     # reports the latest checked-in sweep result (tools/robustness_sweep.py)
-    try:
-        rob_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "docs", "results", "robustness_r3_final.json",
-        )
-        with open(rob_path) as f:
-            rob = json.load(f)["summary"]
-        out["robustness_artifact_rate_pct"] = rob["artifact_rate_pct"]
-        out["robustness_n_scenes"] = rob["n_scenes"]
-        out["robustness_ghost_px_p99_median"] = rob["ghost_px_p99_median"]
-        out["robustness_note"] = (
-            "checked-in CPU sweep (tools/robustness_sweep.py, "
-            "estimate_distortion on); reference claims 6-8% artifacts"
-        )
-    except Exception:
-        pass
-    print(json.dumps(out))
+    for fname, note in (
+        ("robustness_r4_default.json",
+         "checked-in CPU sweep (tools/robustness_sweep.py) on the DEFAULT "
+         "StitchConfig; reference claims 6-8% artifacts"),
+        ("robustness_r3_final.json",
+         "checked-in CPU sweep (tools/robustness_sweep.py, "
+         "estimate_distortion on); reference claims 6-8% artifacts"),
+    ):
+        try:
+            rob_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "docs", "results", fname,
+            )
+            with open(rob_path) as f:
+                rob = json.load(f)["summary"]
+            _out["robustness_artifact_rate_pct"] = rob["artifact_rate_pct"]
+            _out["robustness_n_scenes"] = rob["n_scenes"]
+            _out["robustness_ghost_px_p99_median"] = rob["ghost_px_p99_median"]
+            _out["robustness_note"] = note
+            break
+        except Exception:
+            continue
+    checkpoint()
+    _emit()
 
 
 if __name__ == "__main__":
