@@ -360,6 +360,17 @@ def verify_pairs(
     # compiled ~10 tiny executables per fresh pair-count, each one a relay
     # AOT round-trip. Traced/device inputs (sharded paths call this inside
     # jit) keep the jnp forms — there it is all one executable anyway.
+    if accept_small_min is not None:
+        # Evidence counting (ADVICE r3): the minimal sample fits min_pts
+        # inliers EXACTLY, RANSAC maximizes over hundreds of hypotheses,
+        # and the IRLS refit can absorb borderline points — so only
+        # ni - min_pts inliers are independent evidence. Require at least
+        # min_pts + 5 so the perfect-consensus branch keeps a genuinely
+        # small false-accept probability (e.g. projective: >= 9).
+        accept_small_min = max(
+            float(accept_small_min), model_min_pts(model) + 5.0
+        )
+
     host = isinstance(pair_mask, np.ndarray)
     xp = np if host else jnp
 

@@ -32,8 +32,12 @@ def robust_cost(pairs, pair_idx, pair_mask, inliers, xy, Rs, fs, k1s, sizes,
                 sigma=2.0):
     """Huber-weighted bidirectional reprojection cost over inlier matches.
 
-    Mirrors models.bundle._pair_residual semantics (undistort measured
-    coords, pinhole project into the other camera) in plain numpy."""
+    Mirrors models.bundle._pair_residual semantics EXACTLY (ADVICE r3:
+    an earlier version distorted the projection into stored-image
+    coordinates instead — a residual differing by the local distortion
+    Jacobian near the corners): BOTH measured observations are
+    undistorted by their camera's k1 and the residual is taken in
+    PINHOLE space."""
     cost = 0.0
     n_res = 0
     rms_acc = []
@@ -64,15 +68,14 @@ def robust_cost(pairs, pair_idx, pair_mask, inliers, xy, Rs, fs, k1s, sizes,
             z = np.maximum(dc[:, 2], 1e-6)
             ub_pin_x = fs[b] * dc[:, 0] / z
             ub_pin_y = fs[b] * dc[:, 1] / z
-            # distort into stored-image coords of b (fixed point)
-            rq2 = (ub_pin_x**2 + ub_pin_y**2) / (cxb * cxb + cyb * cyb)
-            rp2 = rq2.copy()
-            for _ in range(8):
-                rp2 = rq2 / np.maximum(1.0 + k1s[b] * rp2, 0.25) ** 2
-            fd = np.maximum(1.0 + k1s[b] * rp2, 0.25)
-            fd = np.where(rq2 > 2.25, 1.0, fd)
-            rx = ub_pin_x / fd + cxb - ub[:, 0]
-            ry = ub_pin_y / fd + cyb - ub[:, 1]
+            # undistort the measured b-observation -> pinhole, compare in
+            # pinhole space (exactly _pair_residual / _undistort_point)
+            dxb = ub[:, 0] - cxb
+            dyb = ub[:, 1] - cyb
+            r2b = (dxb * dxb + dyb * dyb) / (cxb * cxb + cyb * cyb)
+            facb = 1.0 + k1s[b] * r2b
+            rx = ub_pin_x - dxb * facb
+            ry = ub_pin_y - dyb * facb
             r2v = rx * rx + ry * ry
             w = np.where(r2v <= sigma * sigma, 1.0, sigma / np.sqrt(np.maximum(r2v, 1e-12)))
             cost += float(np.sum(w * r2v))
