@@ -28,7 +28,6 @@ from autopanostitch_tpu.ops import sampling as samp
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("stride", "chunk"))
 def overlap_statistics_imagespace(
     images: Array,  # (N, H, W, 3)
     feathers: Array,  # (N, H, W)
@@ -54,9 +53,38 @@ def overlap_statistics_imagespace(
     The j-side feather test is approximated by a `margin`-pixel inset of
     j's valid rectangle (the feather ramp is nonzero strictly inside it).
 
+    Structure: ONE prep executable + a host loop dispatching ONE
+    chunk-accumulate executable (chunk index is a traced scalar, so every
+    dispatch reuses the same program). A single-program form — lax.scan
+    OR fully unrolled — reproducibly CRASHES the TPU runtime ("kernel
+    fault") for N >= 160 on the 2026-08 toolchain, while the identical
+    math dispatched chunk-by-chunk runs fine; the loop costs
+    nchunks x ~27 ms of relay sync, negligible against the stats math.
+
     Returns (Nij (N, N), sumC (N, N, 3)); Nij is ASYMMETRIC (counts on
     image i's grid) — `solve_gains` consumes both directions.
     """
+    use_k1 = k1 is not None
+    k1_arr = jnp.zeros((images.shape[0],), jnp.float32) if k1 is None else k1
+    rays_p, col_p, own_p, KR = _overlap_prep(
+        images, feathers, sizes, R, K, stride, chunk, margin, k1_arr, use_k1
+    )
+    N = images.shape[0]
+    acc = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
+    for c in range(rays_p.shape[0]):
+        acc = _overlap_chunk_acc(
+            acc[0], acc[1], rays_p, col_p, own_p, KR, K, sizes,
+            jnp.int32(c), margin, k1_arr, use_k1,
+        )
+    return acc
+
+
+@partial(jax.jit, static_argnames=("stride", "chunk", "margin", "use_k1"))
+def _overlap_prep(
+    images, feathers, sizes, R, K, stride, chunk, margin, k1, use_k1,
+):
+    """Grid colors, world rays, own-validity — chunked along the grid axis
+    (nchunks, N, chunk, ...) for the dispatch loop."""
     from autopanostitch_tpu.ops import geometry as geo
 
     N, H, W, _ = images.shape
@@ -78,7 +106,7 @@ def overlap_statistics_imagespace(
         jnp.swapaxes(R, 1, 2), geo.invert_K(K),
         precision=jax.lax.Precision.HIGHEST,
     )
-    if k1 is None:
+    if not use_k1:
         pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (P, 3)
         rays = jnp.einsum(
             "iab,pb->ipa", Rt_Kinv, pix, precision=jax.lax.Precision.HIGHEST
@@ -108,36 +136,39 @@ def overlap_statistics_imagespace(
     rays_p = padP(rays).reshape(N, nchunks, chunk, 3).transpose(1, 0, 2, 3)
     col_p = padP(col_all).reshape(N, nchunks, chunk, 3).transpose(1, 0, 2, 3)
     own_p = padP(own).reshape(N, nchunks, chunk).transpose(1, 0, 2)
+    return rays_p, col_p, own_p, KR
 
-    def step(carry, inp):
-        Nij, sumC = carry
-        r_c, col_c, own_c = inp  # (N, C, 3), (N, C, 3), (N, C)
-        prj = jnp.einsum("jab,icb->ijca", KR, r_c)  # (i, j, C, 3)
-        z = prj[..., 2]
-        zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-        u = prj[..., 0] / zi
-        v = prj[..., 1] / zi
-        if k1 is not None:
-            # bounds live in j's DISTORTED image: map pinhole -> distorted
-            u, v = proj.distort_pixels(
-                u, v, k1[None, :, None],
-                K[:, 0, 2][None, :, None], K[:, 1, 2][None, :, None],
-            )
-        vis = (
-            (z > 1e-6)
-            & (u >= margin) & (u <= w_v[None, :] - 1 - margin)
-            & (v >= margin) & (v <= h_v[None, :] - 1 - margin)
-        )  # (i, j, C) with j's bounds broadcast
-        V = (own_c[:, None, :] & vis).astype(jnp.float32)
-        Nij = Nij + jnp.sum(V, axis=-1)
-        sumC = sumC + jnp.einsum(
-            "ijp,ipc->ijc", V, col_c, precision=jax.lax.Precision.HIGHEST
+
+@partial(jax.jit, static_argnames=("margin", "use_k1"))
+def _overlap_chunk_acc(
+    Nij, sumC, rays_p, col_p, own_p, KR, K, sizes, c, margin, k1, use_k1,
+):
+    """Accumulate one grid chunk's visibility counts / color sums."""
+    r_c = jax.lax.dynamic_index_in_dim(rays_p, c, 0, keepdims=False)
+    col_c = jax.lax.dynamic_index_in_dim(col_p, c, 0, keepdims=False)
+    own_c = jax.lax.dynamic_index_in_dim(own_p, c, 0, keepdims=False)
+    h_v = sizes[:, 0].astype(jnp.float32)[:, None]  # (N, 1)
+    w_v = sizes[:, 1].astype(jnp.float32)[:, None]
+    prj = jnp.einsum("jab,icb->ijca", KR, r_c)  # (i, j, C, 3)
+    z = prj[..., 2]
+    zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = prj[..., 0] / zi
+    v = prj[..., 1] / zi
+    if use_k1:
+        # bounds live in j's DISTORTED image: map pinhole -> distorted
+        u, v = proj.distort_pixels(
+            u, v, k1[None, :, None],
+            K[:, 0, 2][None, :, None], K[:, 1, 2][None, :, None],
         )
-        return (Nij, sumC), None
-
-    init = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
-    (Nij, sumC), _ = jax.lax.scan(step, init, (rays_p, col_p, own_p))
-    return Nij, sumC
+    vis = (
+        (z > 1e-6)
+        & (u >= margin) & (u <= w_v[None, :] - 1 - margin)
+        & (v >= margin) & (v <= h_v[None, :] - 1 - margin)
+    )  # (i, j, C) with j's bounds broadcast
+    V = (own_c[:, None, :] & vis).astype(jnp.float32)
+    return Nij + jnp.sum(V, axis=-1), sumC + jnp.einsum(
+        "ijp,ipc->ijc", V, col_c, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @partial(jax.jit, static_argnames=("mode", "grid_h", "grid_w", "chunk"))

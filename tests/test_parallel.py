@@ -150,9 +150,14 @@ def test_stitch_multichip_matches_single_chip():
     np.testing.assert_allclose(res_m.graph.H, res_s.graph.H, rtol=1e-4, atol=1e-4)
     assert len(res_m.panoramas) == len(res_s.panoramas) == 1
     pm, ps = res_m.panoramas[0], res_s.panoramas[0]
+    # rtol 5e-4: the sharded path's different reduction orders perturb
+    # inlier coordinates in the low float32 bits, and the 5-parameter BA
+    # (k1 default-on since r4) amplifies that to ~1e-4 relative in f —
+    # observed 1.2e-4 on this scene; the rendered panoramas still agree
+    # to < 1 uint8 LSB mean (asserted below)
     np.testing.assert_allclose(
         np.asarray(pm["ba"]["cameras"].f), np.asarray(ps["ba"]["cameras"].f),
-        rtol=1e-4,
+        rtol=5e-4,
     )
     a = pm["projections"]["spherical"].astype(np.int16)
     b = ps["projections"]["spherical"].astype(np.int16)
