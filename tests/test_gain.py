@@ -72,6 +72,35 @@ class TestRotationalOverlap:
         np.testing.assert_allclose(np.asarray(sumC)[0, 1] / Nij[0, 1], 127.5, rtol=0.02)
 
 
+class TestImagespaceChunking:
+    def test_statistics_invariant_to_chunk_size(self):
+        # The host loop dispatching one chunk-accumulate executable per
+        # grid chunk (the N>=160 TPU kernel-fault workaround) must produce
+        # statistics independent of the chunk size, including the padded
+        # tail chunk.
+        from autopanostitch_tpu.ops import geometry as geo
+
+        rng = np.random.default_rng(3)
+        N, H, W = 3, 64, 96
+        imgs = rng.uniform(0, 1, (N, H, W, 3)).astype(np.float32)
+        fea = np.ones((N, H, W), np.float32)
+        sizes = np.tile(np.array([H, W], np.int32), (N, 1))
+        # small yaw steps so all three cameras overlap
+        Rs = np.stack([np.asarray(geo.so3_exp(jnp.asarray(
+            [0.0, 0.1 * i, 0.0], jnp.float32))) for i in range(N)])
+        K = np.asarray(geo.build_K(
+            jnp.full((N,), 120.0), jnp.full((N,), (W - 1) / 2.0),
+            jnp.full((N,), (H - 1) / 2.0)))
+        args = (jnp.asarray(imgs), jnp.asarray(fea), jnp.asarray(sizes),
+                jnp.asarray(Rs), jnp.asarray(K))
+        # stride 2 -> P = 32*48 = 1536 grid points: 24 chunks vs 1 chunk
+        ref_N, ref_C = gain.overlap_statistics_imagespace(*args, stride=2, chunk=2048)
+        got_N, got_C = gain.overlap_statistics_imagespace(*args, stride=2, chunk=64)
+        assert np.asarray(ref_N).sum() > 0  # cameras genuinely overlap
+        np.testing.assert_allclose(np.asarray(got_N), np.asarray(ref_N), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_C), np.asarray(ref_C), rtol=1e-5)
+
+
 class TestSolveGainsVectorized:
     def test_matches_loop_oracle(self):
         # the vectorized accumulation must equal the original O(N^2) loop
