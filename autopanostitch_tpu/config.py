@@ -151,6 +151,14 @@ class ImageMatchConfig:
     accept_small_ratio: float = 0.9
     ransac_batch: int = 512  # hypotheses evaluated in parallel (TPU)
     refine_irls_iters: int = 3  # weighted-DLT refit iterations on inliers
+    # Two-phase adaptive budget (the batched analog of the reference's
+    # adaptive trial count via computeLoopNumber,
+    # `estimateTransformationRANSAC.m:124-131`): every pair gets
+    # adaptive_first_batch hypotheses; only pairs whose
+    # log(1-p)/log(1-w^s) requirement at the OBSERVED inlier ratio w
+    # exceeds it get the rest of the budget, continuing the same
+    # hypothesis stream (ops/ransac.verify_pairs). None = single phase.
+    adaptive_first_batch: Optional[int] = 64
 
 
 @_frozen

@@ -979,8 +979,11 @@ def run_incremental_ba(
     # executable — on the relay harness the per-phase dispatch round-trip
     # dominated BA wall time (see lm_phase_group)
     state = [R_d, f_d, k1_d]
-    cost = np.float32(0.0)
-    phase_costs = []  # (upto, device cost, active pair count) — synced ONCE
+    # groups are dispatched BACK-TO-BACK with no host sync in between (the
+    # per-group cost pull used to cost one ~27 ms relay round-trip each);
+    # all per-phase scalars are pulled in ONE deferred sync afterwards
+    group_meta = []  # (group descs, iters, costs_dev, naccs_dev)
+    phase_shapes = []  # (nb, pb, iters, n_phases) per fused group
     i = 0
     while i < len(descs):
         (shape, _), iters, _ = descs[i]
@@ -992,16 +995,25 @@ def run_incremental_ba(
             jnp.asarray(np.stack([g[0][1][k] for g in group]))
             for k in range(9)
         )
-        R_new, f_new, k1_new, costs, naccs = lm_phase_group(
+        R_new, f_new, k1_new, costs_dev, naccs_dev = lm_phase_group(
             state[0], state[1], state[2], cx_d, cy_d, data, *stacked,
             np.float32(cfg.lambda0),
             nb=shape[0], pb=shape[1], iters=iters, **static,
         )
         state = [R_new, f_new, k1_new]
-        # pull the per-phase scalars to host ONCE: eager `costs[-1]` /
-        # `costs[gi]` indexing compiled tiny executables per shape
-        costs = np.asarray(costs)
-        naccs = np.asarray(naccs)
+        group_meta.append((group, iters, costs_dev, naccs_dev))
+        phase_shapes.append((shape[0], shape[1], iters, len(group)))
+        i = j
+    run_incremental_ba.last_stats = {  # consumed by bench MFU accounting
+        "phase_shapes": phase_shapes, "pd": pd, "n": n, "n_pairs": P,
+        "m_matches": int(data.u_i.shape[1]),
+    }
+
+    cost = np.float32(0.0)
+    phase_costs = []  # (upto, device cost, active pair count)
+    for group, iters, costs_dev, naccs_dev in group_meta:
+        costs = np.asarray(costs_dev)
+        naccs = np.asarray(naccs_dev)
         cost = costs[-1]
         for gi, (_, _, upto) in enumerate(group):
             if upto is not None:  # incremental phase: track for RMSE check
@@ -1014,7 +1026,6 @@ def run_incremental_ba(
                 tag = f"n={upto}" if upto is not None else "final"
                 print(f"  phase {tag}: cost={float(costs[gi]):.1f} "
                       f"acc={int(naccs[gi])}/{iters}")
-        i = j
 
     # RMSE-history anomaly check (`bundleAdjustmentRKf.m:308-325`): a phase
     # whose per-match RMSE jumps >2.5x the running median flags a

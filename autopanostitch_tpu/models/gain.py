@@ -27,6 +27,13 @@ from autopanostitch_tpu.ops import sampling as samp
 
 Array = jax.Array
 
+# N at and above which the image-space gain statistics fall back to the
+# host-dispatched chunk loop: the single-program (lax.scan) form crashes
+# the TPU runtime at N >= 160 on the 2026-08 toolchain (bisection:
+# tools/repro_gain_fault.py; docs/ROUND4.md "N>=160 gain-statistics
+# kernel fault"). 128 leaves margin below the smallest crashing N.
+GAIN_HOST_LOOP_MIN_N = 129
+
 
 def overlap_statistics_imagespace(
     images: Array,  # (N, H, W, 3)
@@ -38,6 +45,7 @@ def overlap_statistics_imagespace(
     chunk: int = 512,
     margin: float = 1.0,
     k1: Array | None = None,  # (N,) radial distortion (None = pinhole)
+    force_host_loop: bool = False,  # test hook: exercise the N>=160 path
 ):
     """Overlap statistics sampled on each image's OWN strided pixel grid.
 
@@ -53,29 +61,64 @@ def overlap_statistics_imagespace(
     The j-side feather test is approximated by a `margin`-pixel inset of
     j's valid rectangle (the feather ramp is nonzero strictly inside it).
 
-    Structure: ONE prep executable + a host loop dispatching ONE
-    chunk-accumulate executable (chunk index is a traced scalar, so every
-    dispatch reuses the same program). A single-program form — lax.scan
-    OR fully unrolled — reproducibly CRASHES the TPU runtime ("kernel
-    fault") for N >= 160 on the 2026-08 toolchain, while the identical
-    math dispatched chunk-by-chunk runs fine; the loop costs
-    nchunks x ~27 ms of relay sync, negligible against the stats math.
+    Structure for N < `GAIN_HOST_LOOP_MIN_N`: ONE prep executable + ONE
+    scan-over-chunks executable (two dispatches total). At N >=
+    `GAIN_HOST_LOOP_MIN_N` the scan body is dispatched from a host loop
+    instead (chunk index a traced scalar, so every dispatch reuses the
+    same program): the single-program form — lax.scan OR fully unrolled —
+    reproducibly CRASHES the TPU runtime ("kernel fault") for N >= 160 on
+    the 2026-08 toolchain, while the identical math dispatched
+    chunk-by-chunk runs fine (repro: `tools/repro_gain_fault.py`; numeric
+    equivalence of the two paths is pinned by
+    `tests/test_gain.py::test_gain_oneshot_matches_host_loop`). The loop
+    costs nchunks x ~27 ms of relay sync.
 
     Returns (Nij (N, N), sumC (N, N, 3)); Nij is ASYMMETRIC (counts on
     image i's grid) — `solve_gains` consumes both directions.
     """
     use_k1 = k1 is not None
     k1_arr = jnp.zeros((images.shape[0],), jnp.float32) if k1 is None else k1
+    N = images.shape[0]
+    if N < GAIN_HOST_LOOP_MIN_N and not force_host_loop:
+        return _overlap_imagespace_oneshot(
+            images, feathers, sizes, R, K, stride, chunk, margin, k1_arr,
+            use_k1,
+        )
     rays_p, col_p, own_p, KR = _overlap_prep(
         images, feathers, sizes, R, K, stride, chunk, margin, k1_arr, use_k1
     )
-    N = images.shape[0]
     acc = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
     for c in range(rays_p.shape[0]):
         acc = _overlap_chunk_acc(
             acc[0], acc[1], rays_p, col_p, own_p, KR, K, sizes,
             jnp.int32(c), margin, k1_arr, use_k1,
         )
+    return acc
+
+
+@partial(jax.jit, static_argnames=("stride", "chunk", "margin", "use_k1"))
+def _overlap_imagespace_oneshot(
+    images, feathers, sizes, R, K, stride, chunk, margin, k1, use_k1,
+):
+    """Single-executable form of `overlap_statistics_imagespace`: the prep
+    plus a lax.scan over grid chunks running the SAME accumulate body as
+    the host-loop path (bit-identical accumulation order)."""
+    N = images.shape[0]
+    rays_p, col_p, own_p, KR = _overlap_prep(
+        images, feathers, sizes, R, K, stride, chunk, margin, k1, use_k1
+    )
+
+    def step(acc, c):
+        return (
+            _overlap_chunk_acc(
+                acc[0], acc[1], rays_p, col_p, own_p, KR, K, sizes,
+                c, margin, k1, use_k1,
+            ),
+            None,
+        )
+
+    acc0 = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(rays_p.shape[0], dtype=jnp.int32))
     return acc
 
 

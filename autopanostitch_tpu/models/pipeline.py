@@ -229,6 +229,8 @@ def verify_matches(
         accept_small_ratio=im.accept_small_ratio,
         total=rs.num_trials(im.inliers_confidence, im.transformation_type,
                             im.max_iter),
+        adaptive_first=im.adaptive_first_batch,
+        confidence=im.inliers_confidence,
     )
     return MatchGraph(
         pairs=pairs,

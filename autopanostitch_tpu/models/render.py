@@ -99,6 +99,30 @@ def _bounds_per_camera(
     return jax.vmap(one)(R, K, sizes, k1a)
 
 
+@partial(jax.jit, static_argnames=("mode", "nx", "ny"))
+def _auto_ref_areas(
+    R: Array, K: Array, sizes: Array, mode: str, uv_abs_cap: float,
+    nx: int = 48, ny: int = 32, pct_lo: float = 1.0, pct_hi: float = 99.0,
+    k1: Array | None = None,
+):
+    """(N,) canvas area with camera n as the reference — ONE executable.
+
+    The reference's autoRef loop (`renderPanorama.m:84-122`) evaluates each
+    candidate's bounds separately; a host loop over `_bounds_per_camera`
+    paid one relay dispatch per candidate (~25 ms x N). vmap over the
+    candidate axis folds the whole search into one dispatch."""
+
+    def one_ref(R_ref):
+        b = _bounds_per_camera(
+            R, K, sizes, mode, R_ref, uv_abs_cap, nx, ny, pct_lo, pct_hi, k1
+        )
+        du = jnp.max(b[:, 1]) - jnp.min(b[:, 0])
+        dv = jnp.max(b[:, 3]) - jnp.min(b[:, 2])
+        return du * dv
+
+    return jax.vmap(one_ref)(R)
+
+
 def _memory_fit_pixels(margin_bytes: float = 256e6, frac: float = 0.8):
     """Canvas pixels that fit the device's free memory (None = unknown).
 
@@ -133,22 +157,18 @@ def compute_canvas(
     k1_d = None if k1 is None else jnp.asarray(np.asarray(k1, np.float32))
 
     if needs_ref and cfg.auto_ref and ref_idx is None:
-        best_area, best = np.inf, 0
-        for cand in range(N):
-            b = np.asarray(
-                _bounds_per_camera(
-                    jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
-                    mode, jnp.asarray(R[cand]), cfg.uv_abs_cap,
-                    pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
-                    k1=k1_d,
-                )
+        areas = np.asarray(
+            _auto_ref_areas(
+                jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
+                mode, cfg.uv_abs_cap,
+                pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
+                k1=k1_d,
             )
-            u0, u1 = b[:, 0].min(), b[:, 1].max()
-            v0, v1 = b[:, 2].min(), b[:, 3].max()
-            area = (u1 - u0) * (v1 - v0)
-            if np.isfinite(area) and area < best_area:
-                best_area, best = area, cand
-        ref_idx = best
+        )
+        # first finite minimum, index 0 if none finite — same pick as the
+        # old per-candidate host loop
+        areas = np.where(np.isfinite(areas), areas, np.inf)
+        ref_idx = int(np.argmin(areas)) if np.isfinite(areas).any() else 0
     if ref_idx is None:
         ref_idx = 0
     R_ref = R[ref_idx]

@@ -81,12 +81,39 @@ def num_trials(confidence: float, model: str, max_iter: int) -> int:
     return rounded if rounded <= max_iter else total
 
 
+def num_trials_observed(
+    confidence: float, model: str, w, max_iter: int
+):
+    """Adaptive trial count from the OBSERVED inlier ratio, vectorized.
+
+    The reference updates `log(1-p)/log(1-w^s)` as better models are found
+    (`estimateTransformationRANSAC.m:124-131` via computeLoopNumber,
+    `estimateTransformationMLESAC.m:179-211`); the batched two-phase
+    verifier uses the same formula on the first-phase inlier ratio to
+    decide which pairs need the remaining hypothesis budget."""
+    s = model_min_pts(model)
+    if confidence >= 100.0:
+        return np.full(np.shape(w), max_iter, np.int64)
+    w = np.clip(np.asarray(w, np.float64), 0.0, 0.9999)
+    denom = np.log1p(-np.minimum(w**s, 1 - 1e-12))
+    num = np.log(max(1.0 - confidence / 100.0, 1e-12))
+    with np.errstate(divide="ignore"):
+        needed = np.where(denom < 0, np.ceil(num / denom), np.inf)
+    return np.minimum(needed, max_iter).astype(np.int64)
+
+
 class RansacResult(NamedTuple):
     H: Array  # (3, 3) best model (src -> dst)
     inliers: Array  # (M,) bool
     num_inliers: Array  # () int32
     num_putative: Array  # () int32, valid matches given to the estimator
     success: Array  # () bool — found a valid model with >= min_pts inliers
+    # pre-refit running best, for CONTINUING the hypothesis stream in the
+    # adaptive second phase (see verify_pairs): feeding these back via
+    # init_* reproduces a single longer run exactly
+    raw_cost: Array  # () f32 — best hypothesis score (-inliers | msac)
+    raw_H: Array  # (3, 3)
+    raw_inliers: Array  # (M,) bool
 
 
 def _sample_minimal_sets(key: Array, mask: Array, batch: int, min_pts: int) -> Array:
@@ -150,7 +177,8 @@ def _score(err: Array, mask: Array, threshold: float, method: str):
 
 @partial(
     jax.jit,
-    static_argnames=("model", "method", "batch", "irls_iters", "total"),
+    static_argnames=("model", "method", "batch", "irls_iters", "total",
+                     "start"),
 )
 def ransac_fit(
     src: Array,
@@ -163,6 +191,10 @@ def ransac_fit(
     batch: int = 512,
     irls_iters: int = 3,
     total: int | None = None,
+    start: int = 0,
+    init_cost: Array | None = None,
+    init_H: Array | None = None,
+    init_inliers: Array | None = None,
 ) -> RansacResult:
     """Estimate a transform src -> dst robust to outliers.
 
@@ -177,6 +209,13 @@ def ransac_fit(
       total: total hypothesis budget (see :func:`num_trials`); defaults to
         `batch`. Budgets above `batch` run as a scan of sub-batches with a
         running best, bounding the error tensor at (batch, M).
+      start: index of the first sub-batch in the notional key stream
+        `jax.random.split(key, start + nsub)` — threefry splits are
+        prefix-stable, so a phase-A run (start=0) followed by a phase-B run
+        (start=nsub_A, init_*=phase A's raw best) draws EXACTLY the same
+        hypotheses as one longer run.
+      init_cost/init_H/init_inliers: pre-refit running best carried in from
+        an earlier phase (None = fresh start).
 
     Returns RansacResult. All shapes static — safe under vmap over pairs.
     """
@@ -203,29 +242,34 @@ def ransac_fit(
         best = jnp.argmin(cost)
         return cost[best], Hs[best], inl[best], n_inl[best]
 
-    if nsub == 1:
-        _, H0, inl0, n_best = eval_chunk(key)
-    else:
-        def step(carry, key_t):
-            c, H, i, n = carry
-            c2, H2, i2, n2 = eval_chunk(key_t)
-            better = c2 < c
-            return (
-                jnp.where(better, c2, c),
-                jnp.where(better, H2, H),
-                jnp.where(better, i2, i),
-                jnp.where(better, n2, n),
-            ), None
-
+    if init_H is None:
         init = (
             jnp.float32(jnp.inf),
             jnp.eye(3, dtype=src.dtype),
             jnp.zeros((M,), bool),
             jnp.int32(0),
         )
-        (_, H0, inl0, n_best), _ = jax.lax.scan(
-            step, init, jax.random.split(key, nsub)
+    else:
+        init = (
+            init_cost.astype(jnp.float32),
+            init_H.astype(src.dtype),
+            init_inliers.astype(bool),
+            jnp.sum((init_inliers & mask).astype(jnp.int32)),
         )
+
+    def step(carry, key_t):
+        c, H, i, n = carry
+        c2, H2, i2, n2 = eval_chunk(key_t)
+        better = c2 < c
+        return (
+            jnp.where(better, c2, c),
+            jnp.where(better, H2, H),
+            jnp.where(better, i2, i),
+            jnp.where(better, n2, n),
+        ), None
+
+    keys = jax.random.split(key, start + nsub)[start:]
+    (cost_best, H0, inl0, n_best), _ = jax.lax.scan(step, init, keys)
 
     # --- IRLS refit on inliers (replaces the reference's single LS refit,
     # `estimateTransformationRANSAC.m:146-181`) ---
@@ -251,12 +295,15 @@ def ransac_fit(
 
     success = (n_final >= min_pts) & (n_valid >= min_pts) & geo.homography_is_valid(H_final)
     H_final = jnp.where(success, H_final, jnp.eye(3, dtype=src.dtype))
-    return RansacResult(H_final, inl_final & success, n_final * success, n_valid, success)
+    return RansacResult(
+        H_final, inl_final & success, n_final * success, n_valid, success,
+        cost_best, H0, inl0,
+    )
 
 
 @partial(
     jax.jit,
-    static_argnames=("model", "method", "batch", "total"),
+    static_argnames=("model", "method", "batch", "total", "start"),
 )
 def _verify_chunk(
     pair_src: Array,
@@ -272,13 +319,24 @@ def _verify_chunk(
     method: str = "ransac",
     batch: int = 512,
     total: int | None = None,
+    start: int = 0,
+    init_cost: Array | None = None,
+    init_H: Array | None = None,
+    init_inliers: Array | None = None,
 ):
     """One fixed-size chunk of pair verifications (vmapped ransac_fit)."""
     one = partial(
         ransac_fit, threshold=threshold, model=model, method=method, batch=batch,
-        total=total,
+        total=total, start=start,
     )
-    res = jax.vmap(one)(pair_src, pair_dst, pair_mask, keys)
+    if init_H is None:
+        res = jax.vmap(one)(pair_src, pair_dst, pair_mask, keys)
+    else:
+        res = jax.vmap(
+            lambda s, d, m, k, c0, h0, i0: one(
+                s, d, m, k, init_cost=c0, init_H=h0, init_inliers=i0
+            )
+        )(pair_src, pair_dst, pair_mask, keys, init_cost, init_H, init_inliers)
     # Brown-Lowe linear rule, plus the small-sample perfect-consensus
     # branch (see config.ImageMatchConfig.accept_small_min): near-unanimous
     # consensus on a tiny putative set is overwhelming evidence the linear
@@ -298,6 +356,9 @@ def _verify_chunk(
         "num_inliers": res.num_inliers,
         "num_putative": res.num_putative,
         "accepted": accepted,
+        "raw_cost": res.raw_cost,
+        "raw_H": res.raw_H,
+        "raw_inliers": res.raw_inliers,
     }
 
 
@@ -316,6 +377,8 @@ def verify_pairs(
     accept_small_ratio: float = 0.9,
     chunk: int = 64,
     total: int | None = None,
+    adaptive_first: int | None = None,
+    confidence: float = 99.9,
 ):
     """Verify P candidate pairs with batched RANSAC + Brown-Lowe acceptance.
 
@@ -325,6 +388,18 @@ def verify_pairs(
     `ni >= accept_small_min AND ni >= accept_small_ratio * nf`
     (see `config.ImageMatchConfig.accept_small_min`; None disables —
     exact reference behavior).
+
+    Adaptive two-phase budget (the batched analog of the reference's
+    adaptive trial count, `estimateTransformationRANSAC.m:124-131`): with
+    `adaptive_first = F`, phase A spends F hypotheses on every pair, the
+    observed inlier ratio feeds `num_trials_observed`, and only pairs whose
+    adaptive requirement exceeds F get the remaining `total - F` budget in
+    phase B. Phase B CONTINUES phase A's hypothesis stream (prefix-stable
+    key split + carried running best), so an A+B pair sees exactly the same
+    hypotheses as a single `total`-budget run with sub-batch size F. Easy
+    pairs (high inlier ratio — the common case) stop at F; hopeless
+    non-overlapping pairs burn the full budget, as in the reference.
+    Host-input path only; traced/sharded callers run single-phase.
 
     Implementation note: the pair set is processed in fixed-size chunks by
     ONE jitted executable dispatched from a python loop (a lax.scan over
@@ -352,9 +427,6 @@ def verify_pairs(
             "num_putative": zp.zeros((0,), zp.int32),
             "accepted": zp.zeros((0,), bool),
         }
-    chunk = max(1, min(chunk, P))
-    nchunks = (P + chunk - 1) // chunk
-    Ppad = nchunks * chunk
 
     # Host (numpy) inputs pad/slice/stitch on host: the eager jnp forms
     # compiled ~10 tiny executables per fresh pair-count, each one a relay
@@ -372,37 +444,99 @@ def verify_pairs(
         )
 
     host = isinstance(pair_mask, np.ndarray)
-    xp = np if host else jnp
-
-    def pad(x):
-        return xp.pad(x, [(0, Ppad - P)] + [(0, 0)] * (x.ndim - 1))
-
     if host:
         keys = np.asarray(keys)
-    ps, pd, pm, ks = pad(pair_src), pad(pair_dst), pad(pair_mask), pad(keys)
+    if total is None:
+        total = batch
 
-    outs = []
-    for c in range(nchunks):
-        sl = slice(c * chunk, (c + 1) * chunk)
-        outs.append(
-            _verify_chunk(
-                ps[sl], pd[sl], pm[sl], ks[sl],
-                np.float32(threshold), np.float32(accept_alpha),
-                np.float32(accept_beta),
-                np.float32(
-                    float("inf") if accept_small_min is None
-                    else accept_small_min
-                ),
-                np.float32(accept_small_ratio),
-                model=model, method=method, batch=batch,
-                total=total,
+    scalar_args = (
+        np.float32(threshold), np.float32(accept_alpha),
+        np.float32(accept_beta),
+        np.float32(
+            float("inf") if accept_small_min is None else accept_small_min
+        ),
+        np.float32(accept_small_ratio),
+    )
+
+    def run_chunks(ps, pd, pm, ks, sub_batch, tot, start=0, init=None):
+        """Chunked _verify_chunk loop over an already-padded pair set."""
+        Pq = pm.shape[0]
+        ch = max(1, min(chunk, Pq))
+        nch = (Pq + ch - 1) // ch
+        Ppad = nch * ch
+        xp = np if host else jnp
+
+        def pad(x):
+            return xp.pad(x, [(0, Ppad - Pq)] + [(0, 0)] * (x.ndim - 1))
+
+        ps, pd, pm, ks = pad(ps), pad(pd), pad(pm), pad(ks)
+        if init is not None:
+            init = tuple(pad(x) for x in init)
+        outs = []
+        for c in range(nch):
+            sl = slice(c * ch, (c + 1) * ch)
+            kw = {}
+            if init is not None:
+                kw = dict(
+                    init_cost=init[0][sl], init_H=init[1][sl],
+                    init_inliers=init[2][sl],
+                )
+            outs.append(
+                _verify_chunk(
+                    ps[sl], pd[sl], pm[sl], ks[sl], *scalar_args,
+                    model=model, method=method, batch=sub_batch,
+                    total=tot, start=start, **kw,
+                )
             )
-        )
-    if host:  # sync once at the end; chunk dispatches stay pipelined
+        if host:  # sync once at the end; chunk dispatches stay pipelined
+            return {
+                k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:Pq]
+                for k in outs[0]
+            }
         return {
-            key: np.concatenate([np.asarray(o[key]) for o in outs], axis=0)[:P]
-            for key in outs[0]
+            k: jnp.concatenate([o[k] for o in outs], axis=0)[:Pq]
+            for k in outs[0]
         }
-    return {
-        key: jnp.concatenate([o[key] for o in outs], axis=0)[:P] for key in outs[0]
+
+    adaptive = (
+        host
+        and adaptive_first is not None
+        and 0 < adaptive_first < total
+    )
+    if not adaptive:
+        verify_pairs.last_stats = {
+            "n_pairs": int(P), "total": int(total), "first": int(total),
+            "n_continued": 0, "m_matches": int(M),
+            "trials_spent": float(P * total),
+        }
+        out = run_chunks(pair_src, pair_dst, pair_mask, keys,
+                         min(batch, total), total)
+        for k in ("raw_cost", "raw_H", "raw_inliers"):
+            out.pop(k)
+        return out
+
+    first = int(adaptive_first)
+    out_a = run_chunks(pair_src, pair_dst, pair_mask, keys, first, first)
+    w = out_a["num_inliers"] / np.maximum(out_a["num_putative"], 1)
+    needed = num_trials_observed(confidence, model, w, total)
+    cont = np.nonzero(needed > first)[0]
+    verify_pairs.last_stats = {  # consumed by bench MFU accounting
+        "n_pairs": int(P), "total": int(total), "first": first,
+        "n_continued": int(len(cont)), "m_matches": int(M),
+        "trials_spent": float(P * first + len(cont) * (total - first)),
     }
+    if len(cont):
+        init = (
+            out_a["raw_cost"][cont],
+            out_a["raw_H"][cont],
+            out_a["raw_inliers"][cont],
+        )
+        out_b = run_chunks(
+            pair_src[cont], pair_dst[cont], pair_mask[cont], keys[cont],
+            first, total - first, start=1, init=init,
+        )
+        for k in out_a:
+            out_a[k][cont] = out_b[k]
+    for k in ("raw_cost", "raw_H", "raw_inliers"):
+        out_a.pop(k)
+    return out_a

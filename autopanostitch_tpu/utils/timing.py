@@ -74,6 +74,66 @@ class StageTimer:
         return d
 
 
+class DispatchCounter:
+    """Count device dispatches (executable invocations) per stage.
+
+    On the axon relay every dispatch costs a ~25 ms round-trip, so the
+    dispatch COUNT per stage — not just its wall time — is the quantity to
+    minimize (VERDICT r4 item 1). jit's C++ fastpath bypasses Python on
+    cache hits, so while active the counter disables the fastpath
+    (`_get_fastpath_data` -> None) and wraps the Python executable call.
+    Use on an UNTIMED run only: the Python dispatch path is slower.
+
+    Counts depend only on program structure and shapes, so a CPU-backend
+    counting run reports the same numbers as the TPU run.
+
+    >>> with DispatchCounter() as dc:
+    ...     with dc.stage("features"): ...
+    >>> dc.per_stage  # {"features": 7, ...}; dc.total
+    """
+
+    def __init__(self):
+        self.per_stage: Dict[str, int] = {}
+        self.total = 0
+        self.by_name: Dict[str, int] = {}
+        self._stack: List[str] = []
+
+    def __enter__(self):
+        import jax._src.interpreters.pxla as pxla
+        import jax._src.pjit as pj
+
+        self._orig_fastpath = pj._get_fastpath_data
+        self._orig_call = pxla.ExecuteReplicated.__call__
+        pj._get_fastpath_data = lambda *a, **k: None
+        counter = self
+
+        def counted(ex_self, *args):
+            counter.total += 1
+            counter.by_name[ex_self.name] = counter.by_name.get(ex_self.name, 0) + 1
+            if counter._stack:
+                s = counter._stack[-1]
+                counter.per_stage[s] = counter.per_stage.get(s, 0) + 1
+            return counter._orig_call(ex_self, *args)
+
+        pxla.ExecuteReplicated.__call__ = counted
+        return self
+
+    def __exit__(self, *a):
+        import jax._src.interpreters.pxla as pxla
+        import jax._src.pjit as pj
+
+        pj._get_fastpath_data = self._orig_fastpath
+        pxla.ExecuteReplicated.__call__ = self._orig_call
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        self._stack.append(name)
+        try:
+            yield
+        finally:
+            self._stack.pop()
+
+
 class Tee:
     """Duplicate stdout to a log file (the reference's `diary log.txt`)."""
 

@@ -253,8 +253,71 @@ def bench_6view(pipeline, b):
     }
 
 
-def bench_pano(pipeline, b):
-    """North-star workload: n-view 360x~50 spherical pano, PSNR vs GT."""
+def _pano_mfu(res, cfg, stage_device, n_views, h, w):
+    """Per-stage analytic-FLOP MFU fields (VERDICT r4 item 2).
+
+    Counts from utils/flops.py are lower bounds; see that module's
+    docstring for the roofline context (only the matcher GEMM and SIFT
+    convolutions are FLOP-carrying; RANSAC/BA/gain/render are
+    latency/bandwidth-bound and honestly report ~0 MFU)."""
+    import numpy as np
+
+    from autopanostitch_tpu.models.bundle import run_incremental_ba
+    from autopanostitch_tpu.ops.ransac import verify_pairs
+    from autopanostitch_tpu.utils import flops as fl
+
+    out = {}
+    n_desc = int(np.asarray(res.features.mask).sum())
+    det = cfg.detector
+    stage_flops = {
+        "features": fl.sift_flops(
+            n_views, h, w, det.num_octaves, max_keypoints=det.max_keypoints),
+        "matching": fl.matching_flops(n_desc),
+    }
+    rs_stats = getattr(verify_pairs, "last_stats", None)
+    if rs_stats:
+        stage_flops["ransac"] = fl.ransac_flops(
+            rs_stats["n_pairs"],
+            rs_stats["trials_spent"] / max(rs_stats["n_pairs"], 1),
+            rs_stats["m_matches"],
+        )
+        out["ransac_trials_spent"] = rs_stats["trials_spent"]
+        out["ransac_pairs_continued"] = rs_stats["n_continued"]
+    ba_stats = getattr(run_incremental_ba, "last_stats", None)
+    if ba_stats:
+        stage_flops["bundle_adjustment"] = sum(
+            fl.ba_flops(g, iters, ba_stats["n_pairs"], ba_stats["m_matches"],
+                        nb, pd=ba_stats["pd"])
+            for nb, pb, iters, g in ba_stats["phase_shapes"]
+        )
+    grid = (h // cfg.gain.grid_stride) * (w // cfg.gain.grid_stride)
+    stage_flops["gain"] = fl.gain_flops(n_views, grid)
+    if res.panoramas:
+        pano0 = next(iter(res.panoramas[0]["projections"].values()))
+        stage_flops["render:spherical"] = fl.render_flops(
+            pano0.shape[0] * pano0.shape[1], cfg.render.max_contributors)
+    mfu = {}
+    for k, f in stage_flops.items():
+        t = stage_device.get(k, 0.0)
+        gflops, frac = fl.stage_mfu(f, t)
+        mfu[k] = {"gflop": round(f / 1e9, 2), "gflop_per_s": round(gflops, 1),
+                  "mfu_pct": round(100 * frac, 3)}
+    out["mfu_by_stage"] = mfu
+    # headline: the matcher GEMM, the one stage that SHOULD ride the MXU
+    out["mfu_matcher_pct"] = mfu["matching"]["mfu_pct"]
+    out["mfu_note"] = (
+        "analytic lower-bound FLOPs / device-seconds / 197 TFLOP/s (v5e "
+        "bf16 peak); non-GEMM stages are latency/bandwidth-bound by design "
+        "— see utils/flops.py"
+    )
+    return out
+
+
+def bench_pano(pipeline, b, light=False):
+    """North-star workload: n-view 360x~50 spherical pano, PSNR vs GT.
+
+    light=True (pano200): one timed stitch + PSNR only — no dev-resident
+    re-runs, no dispatch counting — to fit the wave-2 budget."""
     import synthdata
 
     iset, cfg, stack, sizes = b["iset"], b["cfg"], b["stack"], b["sizes"]
@@ -266,10 +329,26 @@ def bench_pano(pipeline, b):
     # harness runs through the axon relay at ~30 MB/s (a real v5e host moves
     # the 33 MB stack in milliseconds over PCIe). The steady re-run carries
     # a StageTimer so the driver JSON gets the per-stage breakdown.
+    import contextlib
+
     import jax.numpy as jnp
 
     from autopanostitch_tpu.utils.image_io import ImageSet
-    from autopanostitch_tpu.utils.timing import StageTimer
+    from autopanostitch_tpu.utils.timing import DispatchCounter, StageTimer
+
+    if light:
+        pr = res.panoramas[0]
+        pano = pr["projections"]["spherical"]
+        psnr, ferr = _pano_psnr(res, env, Rs, f_true, n_views)
+        pre = f"pano{n_views}"
+        return {
+            f"{pre}_s": round(steady_s, 3),
+            f"{pre}_psnr_db": round(psnr, 2),
+            f"{pre}_ferr_pct": round(ferr, 4),
+            f"{pre}_n_views": n_views,
+            f"{pre}_canvas": [int(pano.shape[0]), int(pano.shape[1])],
+            f"{pre}_coverage": round(float(np.mean(pr["coverage"])), 3),
+        }
 
     iset_dev = ImageSet(images=jnp.asarray(stack), sizes=sizes, names=iset.names)
     pipeline.stitch(iset_dev, cfg)
@@ -290,6 +369,54 @@ def bench_pano(pipeline, b):
     stage_device = {
         k: round(max(0.0, v - sync_s), 3) for k, v in stage_breakdown.items()
     }
+
+    # per-stage DISPATCH COUNTS (VERDICT r4 item 1): an untimed extra run
+    # with the jit C++ fastpath disabled; counts depend only on program
+    # structure, so the slower Python dispatch path does not skew them
+    class _Fanout:
+        def __init__(self, *sinks):
+            self.sinks = sinks
+
+        @contextlib.contextmanager
+        def stage(self, name):
+            with contextlib.ExitStack() as es:
+                for s in self.sinks:
+                    es.enter_context(s.stage(name))
+                yield
+
+    dc = DispatchCounter()
+    with dc:
+        pipeline.stitch(iset_dev, cfg, timer=_Fanout(dc))
+    dispatch_counts = dict(dc.per_stage)
+    dispatch_counts["total"] = dc.total
+
+    pr = res.panoramas[0]
+    pano = pr["projections"]["spherical"]
+    cover = pr["coverage"]
+    psnr, ferr = _pano_psnr(res, env, Rs, f_true, n_views)
+    pre = f"pano{n_views}"
+    out = {
+        f"{pre}_s": round(steady_s, 3),
+        f"{pre}_dev_resident_s": round(dev_s, 3),
+        f"{pre}_psnr_db": round(psnr, 2),
+        f"{pre}_ferr_pct": round(ferr, 4),
+        f"{pre}_n_views": n_views,
+        f"{pre}_canvas": [int(pano.shape[0]), int(pano.shape[1])],
+        f"{pre}_coverage": round(float(np.mean(cover)), 3),
+        f"{pre}_stage_s": stage_breakdown,
+        f"{pre}_stage_device_s": stage_device,
+        f"{pre}_relay_sync_ms": round(sync_s * 1000, 1),
+        f"{pre}_dispatch_count": dispatch_counts,
+    }
+    h, w = stack.shape[1], stack.shape[2]
+    for k, v in _pano_mfu(res, cfg, stage_device, n_views, h, w).items():
+        out[f"{pre}_{k}"] = v
+    return out
+
+
+def _pano_psnr(res, env, Rs, f_true, n_views):
+    """(PSNR dB vs gauge-aligned GT lookup, max focal error %)."""
+    import synthdata
 
     pr = res.panoramas[0]
     pano = pr["projections"]["spherical"]
@@ -313,19 +440,8 @@ def bench_pano(pipeline, b):
     err = pano[ys, xs].astype(np.float64) / 255.0 - gt
     psnr = 10 * np.log10(1.0 / max(np.mean(err**2), 1e-12))
     f_est = np.asarray(pr["ba"]["cameras"].f)
-    pre = f"pano{n_views}"
-    return {
-        f"{pre}_s": round(steady_s, 3),
-        f"{pre}_dev_resident_s": round(dev_s, 3),
-        f"{pre}_psnr_db": round(psnr, 2),
-        f"{pre}_ferr_pct": round(float(np.abs(f_est - f_true).max() / f_true * 100), 4),
-        f"{pre}_n_views": n_views,
-        f"{pre}_canvas": [int(pano.shape[0]), int(pano.shape[1])],
-        f"{pre}_coverage": round(float(np.mean(cover)), 3),
-        f"{pre}_stage_s": stage_breakdown,
-        f"{pre}_stage_device_s": stage_device,
-        f"{pre}_relay_sync_ms": round(sync_s * 1000, 1),
-    }
+    ferr = float(np.abs(f_est - f_true).max() / f_true * 100)
+    return psnr, ferr
 
 
 def bench_church(pipeline, b, out):
@@ -443,16 +559,19 @@ def main():
     waves = [
         [  # wave 1: the scoreboard metrics
             ("6view", sec_6view, 40),
-            ("pano100", lambda: _out.update(bench_pano(pipeline, built["pano100"])), 60),
+            ("pano100", lambda: _out.update(bench_pano(pipeline, built["pano100"])), 75),
             ("cmu0", lambda: bench_cmu0(pipeline, built["cmu0"], _out), 90),
             ("church", lambda: bench_church(pipeline, built["church"], _out), 30),
         ],
-        [  # wave 2: scaling + remaining real-photo sheets
-            ("pano200", lambda: _out.update(bench_pano(pipeline, built["pano200"])), 90),
+        [  # wave 2: scaling + remaining real-photo sheets. pano200 runs
+            # LIGHT (one timed stitch + PSNR) so the wave fits the budget
+            ("pano200",
+             lambda: _out.update(
+                 bench_pano(pipeline, built["pano200"], light=True)), 45),
             ("grandcanyon",
-             lambda: bench_sheet_named(pipeline, built["grandcanyon"], _out, "grandcanyon"), 60),
+             lambda: bench_sheet_named(pipeline, built["grandcanyon"], _out, "grandcanyon"), 45),
             ("yellowstone",
-             lambda: bench_sheet_named(pipeline, built["yellowstone"], _out, "yellowstone"), 60),
+             lambda: bench_sheet_named(pipeline, built["yellowstone"], _out, "yellowstone"), 45),
         ],
     ]
 
@@ -476,6 +595,9 @@ def main():
 
     skipped = []
     prewarm_total = 0.0
+    all_warm_threads = {}  # across waves (ADVICE r4: join prior-wave
+    # stragglers too — a daemon warm thread still compiling past its
+    # wave's deadline would otherwise contend with later measurements)
     for wi, sections in enumerate(waves):
         wave_names = [n for n, _, _ in sections if n in built]
         if not wave_names:
@@ -486,21 +608,27 @@ def main():
             skipped.extend(wave_names)
             continue
         t0 = time.time()
-        prewarm_deadline = time.time() + max(30.0, _left() * (0.6 if wi == 0 else 0.7))
+        # deadline caps keep prewarm from eating the wave-2 sections'
+        # budget (r4: a 479 s prewarm left no room for pano200/sheets)
+        cap = 330.0 if wi == 0 else 240.0
+        prewarm_deadline = time.time() + max(
+            30.0, min(cap, _left() * (0.5 if wi == 0 else 0.6)))
         warm_threads = {
             n: threading.Thread(
                 target=_warm, args=(built[n],), daemon=True, name=f"warm-{n}")
             for n in wave_names
         }
+        all_warm_threads.update(warm_threads)
         for t in warm_threads.values():
             t.start()
         for t in warm_threads.values():
             t.join(timeout=max(1.0, prewarm_deadline - time.time()))
-        still = [t.name for t in warm_threads.values() if t.is_alive()]
+        still = [t.name for t in all_warm_threads.values() if t.is_alive()]
         prewarm_total += time.time() - t0
         _out["prewarm_s"] = round(prewarm_total, 1)
         if still:
-            _out.setdefault("prewarm_timed_out", []).extend(still)
+            _out.setdefault("prewarm_timed_out", []).extend(
+                n for n in still if n not in _out.get("prewarm_timed_out", []))
 
         for name, fn, est in sections:
             if name not in built:
@@ -508,14 +636,15 @@ def main():
             if _left() < est:
                 skipped.append(name)
                 continue
-            # a still-compiling warm thread (its own OR another section's)
-            # contends with the measurement — wait for this section's
-            # thread first, then give stragglers a short grace so steady
-            # timings are not polluted by background AOT traffic
+            # a still-compiling warm thread (its own OR another section's,
+            # including a PRIOR wave's straggler) contends with the
+            # measurement — wait for this section's thread first, then
+            # give stragglers a short grace so steady timings are not
+            # polluted by background AOT traffic
             wt = warm_threads.get(name)
             if wt is not None and wt.is_alive():
                 wt.join(timeout=max(1.0, _left() - est))
-            for other in warm_threads.values():
+            for other in all_warm_threads.values():
                 if other.is_alive():
                     other.join(timeout=5.0)
             try:

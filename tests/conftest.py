@@ -38,3 +38,9 @@ def _clear_jax_caches_per_module():
     but the suite survives."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running guard tests (compile-count etc.)"
+    )

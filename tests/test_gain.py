@@ -94,11 +94,70 @@ class TestImagespaceChunking:
         args = (jnp.asarray(imgs), jnp.asarray(fea), jnp.asarray(sizes),
                 jnp.asarray(Rs), jnp.asarray(K))
         # stride 2 -> P = 32*48 = 1536 grid points: 24 chunks vs 1 chunk
-        ref_N, ref_C = gain.overlap_statistics_imagespace(*args, stride=2, chunk=2048)
-        got_N, got_C = gain.overlap_statistics_imagespace(*args, stride=2, chunk=64)
+        ref_N, ref_C = gain.overlap_statistics_imagespace(
+            *args, stride=2, chunk=2048, force_host_loop=True)
+        got_N, got_C = gain.overlap_statistics_imagespace(
+            *args, stride=2, chunk=64, force_host_loop=True)
         assert np.asarray(ref_N).sum() > 0  # cameras genuinely overlap
         np.testing.assert_allclose(np.asarray(got_N), np.asarray(ref_N), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(got_C), np.asarray(ref_C), rtol=1e-5)
+
+    def test_gain_oneshot_matches_host_loop(self):
+        # The one-shot (lax.scan) path used below gain.GAIN_HOST_LOOP_MIN_N
+        # must be numerically identical to the host-dispatched chunk loop
+        # selected at N >= GAIN_HOST_LOOP_MIN_N (the TPU kernel-fault
+        # workaround, tools/repro_gain_fault.py) — same accumulate body,
+        # same chunk order, so exact equality is required.
+        from autopanostitch_tpu.ops import geometry as geo
+
+        rng = np.random.default_rng(5)
+        N, H, W = 4, 64, 96
+        imgs = rng.uniform(0, 1, (N, H, W, 3)).astype(np.float32)
+        fea = np.ones((N, H, W), np.float32)
+        sizes = np.tile(np.array([H, W], np.int32), (N, 1))
+        Rs = np.stack([np.asarray(geo.so3_exp(jnp.asarray(
+            [0.0, 0.12 * i, 0.0], jnp.float32))) for i in range(N)])
+        K = np.asarray(geo.build_K(
+            jnp.full((N,), 120.0), jnp.full((N,), (W - 1) / 2.0),
+            jnp.full((N,), (H - 1) / 2.0)))
+        args = (jnp.asarray(imgs), jnp.asarray(fea), jnp.asarray(sizes),
+                jnp.asarray(Rs), jnp.asarray(K))
+        assert N < gain.GAIN_HOST_LOOP_MIN_N  # default picks the one-shot
+        one_N, one_C = gain.overlap_statistics_imagespace(
+            *args, stride=2, chunk=256)
+        loop_N, loop_C = gain.overlap_statistics_imagespace(
+            *args, stride=2, chunk=256, force_host_loop=True)
+        assert np.asarray(one_N).sum() > 0
+        np.testing.assert_array_equal(np.asarray(one_N), np.asarray(loop_N))
+        np.testing.assert_allclose(
+            np.asarray(one_C), np.asarray(loop_C), rtol=1e-6)
+
+    def test_gain_oneshot_with_k1(self):
+        # distortion-aware variant of the equivalence (the default config
+        # runs with k1 from BA)
+        from autopanostitch_tpu.ops import geometry as geo
+
+        rng = np.random.default_rng(9)
+        N, H, W = 3, 64, 96
+        imgs = rng.uniform(0, 1, (N, H, W, 3)).astype(np.float32)
+        fea = np.ones((N, H, W), np.float32)
+        sizes = np.tile(np.array([H, W], np.int32), (N, 1))
+        Rs = np.stack([np.asarray(geo.so3_exp(jnp.asarray(
+            [0.0, 0.1 * i, 0.0], jnp.float32))) for i in range(N)])
+        K = np.asarray(geo.build_K(
+            jnp.full((N,), 120.0), jnp.full((N,), (W - 1) / 2.0),
+            jnp.full((N,), (H - 1) / 2.0)))
+        k1 = jnp.asarray(np.full((N,), -0.03, np.float32))
+        args = (jnp.asarray(imgs), jnp.asarray(fea), jnp.asarray(sizes),
+                jnp.asarray(Rs), jnp.asarray(K))
+        one_N, one_C = gain.overlap_statistics_imagespace(
+            *args, stride=2, chunk=256, k1=k1)
+        loop_N, loop_C = gain.overlap_statistics_imagespace(
+            *args, stride=2, chunk=256, k1=k1, force_host_loop=True)
+        assert np.asarray(one_N).sum() > 0
+        np.testing.assert_array_equal(np.asarray(one_N), np.asarray(loop_N))
+        np.testing.assert_allclose(
+            np.asarray(one_C), np.asarray(loop_C), rtol=1e-6)
 
 
 class TestSolveGainsVectorized:

@@ -150,6 +150,74 @@ def test_recovers_homography_with_collinear_contamination():
     assert float(jnp.median(err)) < 2.0
 
 
+def test_num_trials_observed():
+    # adaptive trial-count formula (estimateTransformationRANSAC.m:124-131)
+    n = rs.num_trials_observed(99.9, "projective", np.array([0.3, 0.6, 0.9]), 500)
+    assert n[0] == 500  # w=0.3 needs ~849, capped at max_iter
+    assert 40 <= n[1] <= 60  # w=0.6 -> ~50
+    assert n[2] <= 12  # w=0.9 -> ~9
+    assert (np.diff(n) <= 0).all()  # monotone in w
+    # degenerate ratios: zero ratio burns the full budget
+    assert rs.num_trials_observed(99.9, "projective", np.array([0.0]), 256)[0] == 256
+    assert rs.num_trials_observed(100.0, "projective", np.array([0.5]), 256)[0] == 256
+
+
+def _verify_np(srcs, dsts, masks, keys, **kw):
+    return rs.verify_pairs(
+        np.asarray(srcs), np.asarray(dsts), np.asarray(masks),
+        np.asarray(keys), threshold=3.0, **kw,
+    )
+
+
+def test_adaptive_exact_when_all_pairs_continue():
+    """Hard pairs (inlier ratio ~0.3) never satisfy the confidence bound at
+    the first-phase budget, so the adaptive path runs phase B for every
+    pair — and must then be BIT-IDENTICAL to a single run of the full
+    budget with the same sub-batch size (the continued-stream guarantee)."""
+    problems = [make_problem(s, n_inliers=30, n_outliers=70) for s in range(4)]
+    srcs = np.stack([np.asarray(p[1]) for p in problems])
+    dsts = np.stack([np.asarray(p[2]) for p in problems])
+    masks = np.stack([np.asarray(p[3]) for p in problems])
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(11), 4))
+    single = _verify_np(srcs, dsts, masks, keys, batch=64, total=256,
+                        adaptive_first=None)
+    adaptive = _verify_np(srcs, dsts, masks, keys, batch=64, total=256,
+                          adaptive_first=64, confidence=99.9)
+    for k in single:
+        np.testing.assert_array_equal(single[k], adaptive[k], err_msg=k)
+
+
+def test_adaptive_same_acceptance_mixed_difficulty():
+    """Easy pairs stop at the first-phase budget; the adaptive accepted set
+    and inlier counts still match the full-budget run (easy pairs have
+    already found the dominant consensus — extra hypotheses cannot flip
+    Brown-Lowe acceptance)."""
+    easy = [make_problem(s, n_inliers=80, n_outliers=20) for s in range(3)]
+    hard = [make_problem(s + 50, n_inliers=25, n_outliers=75) for s in range(2)]
+    r = np.random.default_rng(4)
+    noise_src = np.zeros((128, 2), np.float32)
+    noise_dst = np.zeros((128, 2), np.float32)
+    noise_src[:100] = r.uniform(0, 400, (100, 2))
+    noise_dst[:100] = r.uniform(0, 400, (100, 2))
+    nm = np.zeros(128, bool)
+    nm[:100] = True
+    probs = easy + hard
+    srcs = np.stack([np.asarray(p[1]) for p in probs] + [noise_src])
+    dsts = np.stack([np.asarray(p[2]) for p in probs] + [noise_dst])
+    masks = np.stack([np.asarray(p[3]) for p in probs] + [nm])
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(13), 6))
+    single = _verify_np(srcs, dsts, masks, keys, batch=64, total=256,
+                        adaptive_first=None)
+    adaptive = _verify_np(srcs, dsts, masks, keys, batch=64, total=256,
+                          adaptive_first=64, confidence=99.9)
+    np.testing.assert_array_equal(single["accepted"], adaptive["accepted"])
+    assert adaptive["accepted"][:5].all() and not adaptive["accepted"][5]
+    # inlier counts equal where phase B ran (hard + noise continue); easy
+    # pairs may differ by the hypotheses they skipped, but only marginally
+    assert (np.abs(single["num_inliers"].astype(int)
+                   - adaptive["num_inliers"].astype(int)) <= 3).all()
+
+
 def test_small_sample_perfect_consensus_acceptance():
     """A starved-texture pair with 10 putative matches, ALL inliers, fails
     the Brown-Lowe linear rule (10 < 8 + 0.3*10) but is overwhelming

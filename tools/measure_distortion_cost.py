@@ -104,9 +104,12 @@ def measure_walls():
 
     builds = list(_configs())
 
-    # Parallel prewarm: the first-run wall we report is the per-config
-    # wall of a DEDICATED serial run below; this phase only absorbs the
-    # shared executables (extraction/matching are distortion-independent).
+    # Parallel prewarm. NOTE (ADVICE r4): the `first_s_*` walls recorded
+    # here come from the CONCURRENT prewarm threads themselves — all four
+    # configs compile at once, so these walls largely measure the shared
+    # relay-AOT contention bottleneck, NOT a per-config compile cost.
+    # They support "compile delta is nil" only weakly; the per-config
+    # signal is the executable-COUNT comparison from measure_compiles().
     results = {}
 
     def _first_run(tag, b):
@@ -127,6 +130,13 @@ def measure_walls():
     for t in threads:
         t.join(timeout=max(1.0, 1500 - (time.time() - t0)))
     results["prewarm_total_s"] = round(time.time() - t0, 1)
+    # ADVICE r4: a thread still compiling past the join deadline would
+    # otherwise silently drop its first_s_* key AND pollute the steady
+    # loop below with in-flight AOT traffic — flag it explicitly
+    stragglers = [t.name for t in threads if t.is_alive()]
+    if stragglers:
+        results["first_run_timed_out"] = True
+        results["steady_possibly_polluted_by_inflight_compiles"] = True
 
     def _steady(b, n=3):
         ts = []
