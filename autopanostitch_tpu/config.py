@@ -158,7 +158,12 @@ class ImageMatchConfig:
     # log(1-p)/log(1-w^s) requirement at the OBSERVED inlier ratio w
     # exceeds it get the rest of the budget, continuing the same
     # hypothesis stream (ops/ransac.verify_pairs). None = single phase.
-    adaptive_first_batch: Optional[int] = 64
+    # Default None: on the relay-attached bench the per-DISPATCH overhead
+    # (~0.15-0.2 s) dwarfs the hypothesis compute it saves — measured
+    # pano100: single-phase one-chunk 0.42 s vs adaptive 0.94 s despite
+    # 45% fewer trials (docs/ROUND5.md). On a directly-attached chip the
+    # trial savings win; flip this to ~64 there.
+    adaptive_first_batch: Optional[int] = None
 
 
 @_frozen

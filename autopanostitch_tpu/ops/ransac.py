@@ -53,6 +53,27 @@ _MODEL_FITTERS = {
 _DESIGN_INLIER_RATIO = 0.3  # worst-case design point for the trial budget
 
 
+def _bucket_1p5(x: int) -> int:
+    """Round up onto the {1, 1.5} x 2^k grid (64, 96, 128, 192, 256, ...):
+    bounded executable-shape variety with <= 33% padding waste."""
+    import math
+
+    x = max(int(x), 1)
+    k = max(0, math.floor(math.log2(x)))
+    for cand in (1 << k, 3 << (k - 1) if k >= 1 else 2, 1 << (k + 1)):
+        if cand >= x:
+            return cand
+    return 1 << (k + 2)
+
+
+def _bucket_1p5_floor(x: int) -> int:
+    """Largest {1, 1.5} x 2^k grid point <= x."""
+    b = _bucket_1p5(x)
+    while b > max(int(x), 1):
+        b = b * 2 // 3 if b % 3 == 0 else b * 3 // 4
+    return max(b, 1)
+
+
 def model_min_pts(model: str) -> int:
     """Minimal correspondences for the model (`imageMatching.m:37-39`)."""
     return _MODEL_FITTERS[model][2]
@@ -306,10 +327,13 @@ def ransac_fit(
     static_argnames=("model", "method", "batch", "total", "start"),
 )
 def _verify_chunk(
-    pair_src: Array,
+    pair_src: Array,  # (nchunks, chunk, M, 2) — FULL pre-chunked stack
     pair_dst: Array,
     pair_mask: Array,
     keys: Array,
+    c: Array,  # () int32 chunk index — traced, so ONE executable serves
+    # every chunk AND the inputs upload once (a per-chunk host slice paid
+    # one host->device transfer per dispatch: ~0.2 s/chunk on the relay)
     threshold,
     accept_alpha,
     accept_beta,
@@ -320,23 +344,25 @@ def _verify_chunk(
     batch: int = 512,
     total: int | None = None,
     start: int = 0,
-    init_cost: Array | None = None,
+    init_cost: Array | None = None,  # (nchunks, chunk) when phase B
     init_H: Array | None = None,
     init_inliers: Array | None = None,
 ):
     """One fixed-size chunk of pair verifications (vmapped ransac_fit)."""
+    take = lambda x: jax.lax.dynamic_index_in_dim(x, c, 0, keepdims=False)
+    ps, pd_, pm, ks = take(pair_src), take(pair_dst), take(pair_mask), take(keys)
     one = partial(
         ransac_fit, threshold=threshold, model=model, method=method, batch=batch,
         total=total, start=start,
     )
     if init_H is None:
-        res = jax.vmap(one)(pair_src, pair_dst, pair_mask, keys)
+        res = jax.vmap(one)(ps, pd_, pm, ks)
     else:
         res = jax.vmap(
             lambda s, d, m, k, c0, h0, i0: one(
                 s, d, m, k, init_cost=c0, init_H=h0, init_inliers=i0
             )
-        )(pair_src, pair_dst, pair_mask, keys, init_cost, init_H, init_inliers)
+        )(ps, pd_, pm, ks, take(init_cost), take(init_H), take(init_inliers))
     # Brown-Lowe linear rule, plus the small-sample perfect-consensus
     # branch (see config.ImageMatchConfig.accept_small_min): near-unanimous
     # consensus on a tiny putative set is overwhelming evidence the linear
@@ -375,7 +401,7 @@ def verify_pairs(
     accept_beta: float = 0.3,
     accept_small_min: float | None = None,
     accept_small_ratio: float = 0.9,
-    chunk: int = 64,
+    chunk: int | None = None,
     total: int | None = None,
     adaptive_first: int | None = None,
     confidence: float = 99.9,
@@ -448,6 +474,16 @@ def verify_pairs(
         keys = np.asarray(keys)
     if total is None:
         total = batch
+    if chunk is None:
+        # Auto chunk: the measured per-dispatch overhead on the relay
+        # harness (~0.15-0.2 s, >> the ~0.03-0.3 s of chunk compute)
+        # makes ONE dispatch optimal whenever the (chunk, B, M) scratch
+        # fits; cap scratch at ~1.5 GB and round the chunk up on a
+        # {1, 1.5} x 2^k grid so executable shapes stay bounded across
+        # datasets (compute on the padded, all-masked pairs is cheap).
+        per_pair = 12.0 * min(batch, total) * M  # err+gumbel+idx f32
+        cap = max(32, int(1.5e9 / per_pair))
+        chunk = min(_bucket_1p5(P), _bucket_1p5_floor(cap))
 
     scalar_args = (
         np.float32(threshold), np.float32(accept_alpha),
@@ -459,36 +495,41 @@ def verify_pairs(
     )
 
     def run_chunks(ps, pd, pm, ks, sub_batch, tot, start=0, init=None):
-        """Chunked _verify_chunk loop over an already-padded pair set."""
+        """Chunked _verify_chunk loop over a pair set.
+
+        Inputs are padded to (nchunks, chunk, ...) and uploaded ONCE; each
+        dispatch selects its chunk by a traced index on device (a host
+        slice per chunk paid one relay transfer per dispatch — measured
+        ~0.2 s/chunk vs ~0.03 s of actual compute). Outputs sync once at
+        the end (they are small: the (P, M) inlier masks dominate)."""
         Pq = pm.shape[0]
         ch = max(1, min(chunk, Pq))
         nch = (Pq + ch - 1) // ch
         Ppad = nch * ch
         xp = np if host else jnp
 
-        def pad(x):
-            return xp.pad(x, [(0, Ppad - Pq)] + [(0, 0)] * (x.ndim - 1))
+        def prep(x):
+            x = xp.pad(x, [(0, Ppad - Pq)] + [(0, 0)] * (x.ndim - 1))
+            x = x.reshape((nch, ch) + x.shape[1:])
+            return jnp.asarray(x) if host else x
 
-        ps, pd, pm, ks = pad(ps), pad(pd), pad(pm), pad(ks)
+        ps, pd, pm, ks = prep(ps), prep(pd), prep(pm), prep(ks)
         if init is not None:
-            init = tuple(pad(x) for x in init)
+            init = tuple(prep(x) for x in init)
         outs = []
         for c in range(nch):
-            sl = slice(c * ch, (c + 1) * ch)
             kw = {}
             if init is not None:
-                kw = dict(
-                    init_cost=init[0][sl], init_H=init[1][sl],
-                    init_inliers=init[2][sl],
-                )
+                kw = dict(init_cost=init[0], init_H=init[1],
+                          init_inliers=init[2])
             outs.append(
                 _verify_chunk(
-                    ps[sl], pd[sl], pm[sl], ks[sl], *scalar_args,
+                    ps, pd, pm, ks, np.int32(c), *scalar_args,
                     model=model, method=method, batch=sub_batch,
                     total=tot, start=start, **kw,
                 )
             )
-        if host:  # sync once at the end; chunk dispatches stay pipelined
+        if host:  # sync once; chunk dispatches stay pipelined
             return {
                 k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:Pq]
                 for k in outs[0]
