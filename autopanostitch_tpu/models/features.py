@@ -153,13 +153,20 @@ def _extract_impl(
         from autopanostitch_tpu.ops import corners
 
         feats = corners.extract_corners_batch(gray, cfg, det.lower())
-    elif det in ("SURF", "KAZE"):
+    elif det == "SURF":
         # SURF -> exact Gaussian determinant-of-Hessian blobs + SIFT
-        # descriptors (ops/doh.py); KAZE maps to the same detector (its
-        # nonlinear scale space is not reproduced - documented)
+        # descriptors (ops/doh.py)
         from autopanostitch_tpu.ops import doh
 
         feats = doh.extract_doh_batch(gray, cfg)
+    elif det == "KAZE":
+        # KAZE -> det-Hessian maxima of the Perona-Malik NONLINEAR scale
+        # space (FED evolution, ops/kaze.py), sharing the DoH detection +
+        # descriptor core (reference getFeaturePoints.m:33-64 ->
+        # detectKAZEFeatures)
+        from autopanostitch_tpu.ops import kaze
+
+        feats = kaze.extract_kaze_batch(gray, cfg)
     else:  # SIFT / vl_SIFT
         feats = sift.extract_batch(gray, cfg)
     feats = mask_borders(feats, sizes, border)

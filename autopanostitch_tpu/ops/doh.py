@@ -29,9 +29,9 @@ from autopanostitch_tpu.ops.sift import SiftFeatures, gaussian_blur
 Array = jax.Array
 
 
-def _doh_response(img: Array, sigma: float) -> Array:
-    """Scale-normalized determinant of Hessian at one scale."""
-    L = gaussian_blur(img, sigma)
+def hessian_response(L: Array, sigma: float) -> Array:
+    """Scale-normalized determinant of Hessian of one (already-smoothed)
+    scale-space level."""
     # central second differences
     Lxx = jnp.roll(L, -1, 1) + jnp.roll(L, 1, 1) - 2 * L
     Lyy = jnp.roll(L, -1, 0) + jnp.roll(L, 1, 0) - 2 * L
@@ -40,13 +40,35 @@ def _doh_response(img: Array, sigma: float) -> Array:
     return (sigma**4) * (Lxx * Lyy - Lxy * Lxy)
 
 
+def doh_sigmas(cfg: DetectorConfig, n_scales: int = 8) -> list:
+    k = 2.0 ** 0.5
+    return [cfg.sigma * (k**i) for i in range(n_scales)]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatures:
     """DoH blobs + SIFT descriptors on one grayscale image."""
-    n_scales = 8
-    k = 2.0 ** 0.5
-    sigmas = [cfg.sigma * (k**i) for i in range(n_scales)]
-    resp = jnp.stack([_doh_response(img, s) for s in sigmas])  # (S, H, W)
+    sigmas = doh_sigmas(cfg)
+    Ls = jnp.stack([gaussian_blur(img, s) for s in sigmas])  # (S, H, W)
+    return extract_from_levels(Ls, tuple(sigmas), cfg)
+
+
+def extract_from_levels(
+    Ls: Array, sigmas: tuple, cfg: DetectorConfig, resp_fn=None, border: int = 8
+) -> SiftFeatures:
+    """Shared detection + descriptor core over a precomputed scale-space
+    stack `Ls` (S, H, W) — Gaussian levels for SURF/DoH, nonlinear
+    (Perona-Malik diffused) levels for KAZE (`ops/kaze.py`).
+
+    resp_fn(level, sigma) -> response map; defaults to the unit-step
+    `hessian_response` (correct for Gaussian levels, whose unit-step
+    differences approximate true derivatives). KAZE passes its
+    sigma-stepped variant (see `kaze.hessian_response_sigma_step`)."""
+    if resp_fn is None:
+        resp_fn = hessian_response
+    resp = jnp.stack(
+        [resp_fn(Ls[i], s) for i, s in enumerate(sigmas)]
+    )  # (S, H, W)
 
     # 3x3x3 scale-space non-max suppression (interior scales only) — one
     # reduce_window like the SIFT extrema (26 rolls copied the full
@@ -57,7 +79,7 @@ def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatu
     )[1:-1]
     thr = 1e-6
     is_max = (center >= mx) & (center > thr)
-    b = 8
+    b = border
     is_max = is_max.at[:, :b, :].set(False).at[:, -b:, :].set(False)
     is_max = is_max.at[:, :, :b].set(False).at[:, :, -b:].set(False)
 
@@ -72,8 +94,7 @@ def extract_doh(img: Array, cfg: DetectorConfig = DetectorConfig()) -> SiftFeatu
     x = (rem % W).astype(jnp.float32)
     sigma_kp = jnp.asarray(sigmas, jnp.float32)[si]
 
-    # gradients of the blurred image per scale for descriptor sampling
-    Ls = jnp.stack([gaussian_blur(img, s) for s in sigmas])
+    # gradients of the scale-space levels for descriptor sampling
     dx_s = 0.5 * (jnp.roll(Ls, -1, 2) - jnp.roll(Ls, 1, 2))
     dy_s = 0.5 * (jnp.roll(Ls, -1, 1) - jnp.roll(Ls, 1, 1))
     # magnitude/angle hoisted per scale (see sift._orientation_hist_dense)

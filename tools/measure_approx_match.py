@@ -107,8 +107,8 @@ def run_one(F: int, block: int = 1024):
 
     # recall@1 / @2: do the exact 1st/2nd neighbours appear in the
     # approximate k-list (the ratio test consumes exactly these two)
-    r1 = float(np.mean([idx_ex[q, 0] in idx_ap[q] for q in range(F)]))
-    r2 = float(np.mean([idx_ex[q, 1] in idx_ap[q] for q in range(F)]))
+    r1 = float((idx_ap == idx_ex[:, 0:1]).any(1).mean())
+    r2 = float((idx_ap == idx_ex[:, 1:2]).any(1).mean())
     # ratio-test decision agreement (Lowe 0.8 on cross-image best/second)
     rat_ex = dist_ex[:, 0] / np.maximum(dist_ex[:, 1], 1e-12)
     rat_ap = dist_ap[:, 0] / np.maximum(dist_ap[:, 1], 1e-12)
