@@ -99,7 +99,10 @@ class MatchingConfig:
     # FLANN analog — 32-d random-projection sketch prefilter + exact
     # re-rank of the top sketch candidates (ops/matching.global_knn).
     # Applies to the pooled global matcher; the pairwise matcher is always
-    # exact (per-pair matrices are small enough that exact wins on TPU).
+    # exact. Measured at 50k-500k pooled descriptors on the chip
+    # (docs/results/approx_match.json): the sketch path is 4-5x SLOWER
+    # than exact at 96-97% accepted-match recall — the flag exists for
+    # API parity with the reference; 'exhaustive' is strictly dominant.
     method: str = "exhaustive"
     # Match threshold (inputs.m:52, matchFeaturesScratch.m:177-178): for
     # float descriptors a raw-SSD cut (unit-norm SIFT -> SSD in [0,4]); for
