@@ -660,6 +660,9 @@ def main():
     # claim, README.md:194): the 60-scene sweep is hours-scale, so bench
     # reports the latest checked-in sweep result (tools/robustness_sweep.py)
     for fname, note in (
+        ("robustness_r5_default.json",
+         "checked-in CPU sweep (tools/robustness_sweep.py) on the DEFAULT "
+         "StitchConfig; reference claims 6-8% artifacts"),
         ("robustness_r4_default.json",
          "checked-in CPU sweep (tools/robustness_sweep.py) on the DEFAULT "
          "StitchConfig; reference claims 6-8% artifacts"),
