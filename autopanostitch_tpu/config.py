@@ -284,7 +284,13 @@ class RenderConfig:
     pixel_pad: float = 24.0
     auto_ref: bool = True
     crop_border: bool = True
-    tile: Tuple[int, int] = (512, 512)
+    # FIXED render tile shape (canvas padded up to tile multiples; the
+    # padding tiles are skipped on device and trimmed on host). Fixed —
+    # not fitted to the canvas — so the expensive tile-render executable
+    # is shared across datasets/canvases (utils/buckets.py rationale);
+    # (96, 384) keeps the worst-case dead fraction of typical panorama
+    # extents under ~10%
+    tile: Tuple[int, int] = (96, 384)
     # per-tile contributor cap: only the C best-overlapping images are
     # sampled per canvas tile (render cost is O(canvas x C)). None (the
     # default) sizes C automatically from the tiles' needs — a yaw ring

@@ -42,6 +42,7 @@ import numpy as np
 
 from autopanostitch_tpu.config import BundleConfig
 from autopanostitch_tpu.ops import geometry as geo
+from autopanostitch_tpu.utils.buckets import coarse as _coarse
 
 Array = jax.Array
 
@@ -525,6 +526,7 @@ def lm_phase_group(
     seed_g,  # (G,) int32
     focal_frac_g,  # (G,) f32
     k1_cap_g,  # (G,) f32 — per-iteration |delta k1| cap (pd = 5 only)
+    real_g,  # (G,) bool — False = shape-bucket padding phase (skipped)
     lam0,  # () f32 — lambda resets to this at every phase
     nb: int,
     pb: int,
@@ -545,19 +547,28 @@ def lm_phase_group(
     with jax.default_matmul_precision("highest"):
 
         def body(carry, xs):
-            Rf, ff, kf = carry
-            ct, co, pt, pij, po, cp, sl, frac, k1c = xs
-            Rf, ff, kf, _, cost, nacc = _lm_phase_body(
-                Rf, ff, kf, cx_full, cy_full, data, ct, co, pt, pij, po,
-                cp, sl, lam0, nb=nb, pb=pb, iters=iters, pd=pd,
-                focal_frac=frac, k1_cap=k1c, **static,
-            )
+            ct, co, pt, pij, po, cp, sl, frac, k1c, real = xs
+
+            def run(st):
+                Rf, ff, kf = st
+                Rf, ff, kf, _, cost, nacc = _lm_phase_body(
+                    Rf, ff, kf, cx_full, cy_full, data, ct, co, pt, pij, po,
+                    cp, sl, lam0, nb=nb, pb=pb, iters=iters, pd=pd,
+                    focal_frac=frac, k1_cap=k1c, **static,
+                )
+                return Rf, ff, kf, jnp.float32(cost), jnp.int32(nacc)
+
+            def skip(st):  # padding phase: state unchanged, ~zero runtime
+                Rf, ff, kf = st
+                return Rf, ff, kf, jnp.float32(0.0), jnp.int32(0)
+
+            Rf, ff, kf, cost, nacc = jax.lax.cond(real, run, skip, carry)
             return (Rf, ff, kf), (cost, nacc)
 
         (R_full, f_full, k1_full), (costs, naccs) = jax.lax.scan(
             body, (R_full, f_full, k1_full),
             (cam_take_g, cam_ok_g, pair_take_g, pair_ij_g, pair_ok_g,
-             cpinv_g, seed_g, focal_frac_g, k1_cap_g),
+             cpinv_g, seed_g, focal_frac_g, k1_cap_g, real_g),
         )
     return R_full, f_full, k1_full, costs, naccs
 
@@ -858,6 +869,8 @@ def _bucket(x: int, lo: int) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(x, 1)))))
 
 
+
+
 def _cpinv_focal(active_orig: np.ndarray, nb: int, smooth_w: float, mean_w: float):
     """Host-built focal coupling block of the Brown-Lowe prior
     (`buildBrownLowePrior`, `bundleAdjustmentRKf.m:1560-1637`):
@@ -909,11 +922,24 @@ def run_incremental_ba(
     if not steps or steps[-1] != n:
         steps.append(n)
 
-    R_d = jnp.asarray(R0.astype(np.float32))
-    f_d = jnp.asarray(np.asarray(f_init).astype(np.float32))
-    k1_d = jnp.asarray(np.zeros((n,), np.float32))  # host zeros: no eager broadcast executable
-    cx_d = jnp.asarray(cx.astype(np.float32))
-    cy_d = jnp.asarray(cy.astype(np.float32))
+    # COARSE camera-count bucket (same rationale as the P_dev bucket in
+    # run_bundle_adjustment): the full-length camera arrays are gather
+    # sources / masked-scatter targets only, so padding them to a wide
+    # rung removes per-dataset n from the LM executables' shape keys
+    n_dev = _coarse(n, (64, 256, 1024))
+    pad_n = n_dev - n
+
+    def _padn(a, fill=0.0):
+        a = np.asarray(a, np.float32)
+        return np.concatenate([a, np.full((pad_n,) + a.shape[1:], fill, np.float32)])
+
+    R_d = jnp.asarray(np.concatenate(
+        [R0.astype(np.float32),
+         np.tile(np.eye(3, dtype=np.float32), (pad_n, 1, 1))]))
+    f_d = jnp.asarray(_padn(f_init, f0))  # pad with f0: keeps math finite
+    k1_d = jnp.asarray(np.zeros((n_dev,), np.float32))  # host zeros: no eager broadcast executable
+    cx_d = jnp.asarray(_padn(cx))
+    cy_d = jnp.asarray(_padn(cy))
     pd = 5 if with_k1 else 4
 
     static = dict(
@@ -934,7 +960,11 @@ def run_incremental_ba(
         in_act = np.zeros(n, bool)
         in_act[act] = True
         psel = np.nonzero(in_act[loc_pairs[:, 0]] & in_act[loc_pairs[:, 1]])[0]
-        nb = _bucket(len(act), 8)
+        # nb floor 64: the compact-phase cost driver is pb (pair
+        # linearization), not nb — the dense (pd*nb)^2 solve is trivial at
+        # this size — so flooring nb collapses the per-phase key to
+        # (64, pb) and every <=64-camera dataset shares the LM programs
+        nb = _bucket(len(act), 64)
         pb = _bucket(max(len(psel), 1), 8)
         local_of = np.zeros(n, np.int32)
         local_of[act] = np.arange(len(act), dtype=np.int32)
@@ -991,12 +1021,24 @@ def run_incremental_ba(
         while j < len(descs) and descs[j][0][0] == shape and descs[j][1] == iters:
             j += 1
         group = descs[i:j]
-        stacked = tuple(
-            jnp.asarray(np.stack([g[0][1][k] for g in group]))
-            for k in range(9)
-        )
+        # pad the phase axis to a power of two with floor 8 (real=False
+        # phases are lax.cond-skipped at ~zero runtime; the scan compiles
+        # its body ONCE regardless of length) so the scan LENGTH drops out
+        # of the executable's shape key: datasets whose incremental
+        # schedules differ in phase count still share the (nb, pb, iters)
+        # programs (measured: a 38- and a 35-photo sheet differed ONLY in
+        # G across all eight phase groups)
+        G_b = _bucket(len(group), 8)
+
+        def _stack_pad(k):
+            a = np.stack([g[0][1][k] for g in group])
+            return jnp.asarray(np.pad(
+                a, ((0, G_b - len(group)),) + ((0, 0),) * (a.ndim - 1)))
+
+        stacked = tuple(_stack_pad(k) for k in range(9))
+        real_g = jnp.asarray(np.arange(G_b) < len(group))
         R_new, f_new, k1_new, costs_dev, naccs_dev = lm_phase_group(
-            state[0], state[1], state[2], cx_d, cy_d, data, *stacked,
+            state[0], state[1], state[2], cx_d, cy_d, data, *stacked, real_g,
             np.float32(cfg.lambda0),
             nb=shape[0], pb=shape[1], iters=iters, **static,
         )
@@ -1014,7 +1056,7 @@ def run_incremental_ba(
     for group, iters, costs_dev, naccs_dev in group_meta:
         costs = np.asarray(costs_dev)
         naccs = np.asarray(naccs_dev)
-        cost = costs[-1]
+        cost = costs[len(group) - 1]  # last REAL phase (tail = padding)
         for gi, (_, _, upto) in enumerate(group):
             if upto is not None:  # incremental phase: track for RMSE check
                 in_act = np.zeros(n, bool)
@@ -1049,7 +1091,12 @@ def run_incremental_ba(
                     stacklevel=2,
                 )
         rmse_hist.append(rmse)
-    return state[0], state[1], state[2] if with_k1 else None, cost
+    # slice the n_dev padding back off on host (the costs sync above
+    # already paid the round-trip; these are a few KB)
+    R_out = jnp.asarray(np.asarray(state[0])[:n])
+    f_out = jnp.asarray(np.asarray(state[1])[:n])
+    k1_out = jnp.asarray(np.asarray(state[2])[:n]) if with_k1 else None
+    return R_out, f_out, k1_out, cost
 
 
 # ===========================================================================
@@ -1141,12 +1188,21 @@ def run_bundle_adjustment(
         u_i[k, :c] = xy[gi, pair_idx[p, idxs, 0]]
         u_j[k, :c] = xy[gj, pair_idx[p, idxs, 1]]
         w[k, :c] = 1.0
+    # COARSE pair-count bucket: the BAData arrays are pure gather sources
+    # inside the LM executables (pair_take indexes only real rows), so
+    # padding costs nothing at runtime but removes the per-dataset P from
+    # every LM executable's shape key — a 125-pair and a 110-pair sheet
+    # share the P=128 programs (see utils/buckets.py rationale)
+    P_dev = _coarse(P, (128, 512, 2048))
+    pad_p = P_dev - P
     data = BAData(
-        pair_ij=jnp.asarray(loc_pairs.astype(np.int32)),
-        u_i=jnp.asarray(u_i),
-        u_j=jnp.asarray(u_j),
-        w=jnp.asarray(w),
-        pair_valid=jnp.asarray(np.ones((P,), bool)),
+        pair_ij=jnp.asarray(
+            np.pad(loc_pairs.astype(np.int32), ((0, pad_p), (0, 0)))),
+        u_i=jnp.asarray(np.pad(u_i, ((0, pad_p), (0, 0), (0, 0)))),
+        u_j=jnp.asarray(np.pad(u_j, ((0, pad_p), (0, 0), (0, 0)))),
+        w=jnp.asarray(np.pad(w, ((0, pad_p), (0, 0)))),
+        pair_valid=jnp.asarray(
+            np.pad(np.ones((P,), bool), (0, pad_p))),
     )
 
     # ---- incremental schedule ----

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from autopanostitch_tpu.config import GainConfig
+from autopanostitch_tpu.utils import buckets
 from autopanostitch_tpu.ops import projections as proj
 from autopanostitch_tpu.ops import sampling as samp
 
@@ -33,6 +34,11 @@ Array = jax.Array
 # tools/repro_gain_fault.py; docs/ROUND4.md "N>=160 gain-statistics
 # kernel fault"). 128 leaves margin below the smallest crashing N.
 GAIN_HOST_LOOP_MIN_N = 129
+# camera-block size for the N >= GAIN_HOST_LOOP_MIN_N block-pair path:
+# every dispatched tensor keeps the (<=128, <=128, chunk) footprint the
+# one-shot path runs proven-safe (the r4 grid-chunk host loop alone still
+# faulted at pano200 scale, N=256 x 288x384 — 2026-08-21 repro)
+GAIN_BLOCK = 128
 
 
 def overlap_statistics_imagespace(
@@ -84,16 +90,111 @@ def overlap_statistics_imagespace(
             images, feathers, sizes, R, K, stride, chunk, margin, k1_arr,
             use_k1,
         )
-    rays_p, col_p, own_p, KR = _overlap_prep(
-        images, feathers, sizes, R, K, stride, chunk, margin, k1_arr, use_k1
-    )
-    acc = (jnp.zeros((N, N)), jnp.zeros((N, N, 3)))
-    for c in range(rays_p.shape[0]):
-        acc = _overlap_chunk_acc(
-            acc[0], acc[1], rays_p, col_p, own_p, KR, K, sizes,
-            jnp.int32(c), margin, k1_arr, use_k1,
+    # N above the one-shot scale: EVERYTHING — including the prep — runs
+    # per CAMERA BLOCK of GAIN_BLOCK cameras, and the statistics
+    # accumulate over block pairs (plus the grid-chunk axis) dispatched
+    # from the host. Bisection on the chip (2026-08-21): the r4 host loop
+    # over grid chunks alone still faults the TPU runtime at pano200
+    # scale, and the faulting kernel is `_overlap_prep` itself at
+    # (256, 288, 384) — while every tensor at the (<=128 cameras) block
+    # footprint is exactly what the proven N<=128 one-shot path runs.
+    # Block index arguments are traced, so one executable serves every
+    # block / block pair.
+    B = GAIN_BLOCK
+    nblk = (N + B - 1) // B
+    Np = nblk * B
+    if Np != N:  # pad camera axis so blocks are uniform (masked: size 0)
+        padn = Np - N
+        images = jnp.pad(images, ((0, padn),) + ((0, 0),) * 3)
+        feathers = jnp.pad(feathers, ((0, padn), (0, 0), (0, 0)))
+        sizes = jnp.pad(sizes, ((0, padn), (0, 0)))
+        R = jnp.pad(R, ((0, padn), (0, 0), (0, 0)))
+        R = R.at[N:].set(jnp.eye(3, dtype=R.dtype))
+        K = jnp.pad(K, ((0, padn), (0, 0), (0, 0)))
+        K = K.at[N:].set(jnp.eye(3, dtype=K.dtype))
+        k1_arr = jnp.pad(k1_arr, (0, padn))
+    preps = []
+    for ib in range(nblk):
+        blk = _slice_camera_block(
+            images, feathers, sizes, R, K, k1_arr, jnp.int32(ib * B), B
         )
+        img_b, fea_b, sz_b, R_b, K_b, k1_b = blk
+        rays_b, col_b, own_b, KR_b = _overlap_prep(
+            img_b, fea_b, sz_b, R_b, K_b, stride, chunk, margin, k1_b,
+            use_k1,
+        )
+        preps.append((rays_b, col_b, own_b, KR_b, K_b, sz_b, k1_b))
+    nchunks = preps[0][0].shape[0]
+    acc = (jnp.zeros((Np, Np)), jnp.zeros((Np, Np, 3)))
+    for c in range(nchunks):
+        for ib in range(nblk):
+            rays_i, col_i, own_i = preps[ib][0], preps[ib][1], preps[ib][2]
+            for jb in range(nblk):
+                _, _, _, KR_j, K_j, sz_j, k1_j = preps[jb]
+                acc = _overlap_block_acc(
+                    acc[0], acc[1], rays_i, col_i, own_i, KR_j, K_j, sz_j,
+                    k1_j, jnp.int32(c), jnp.int32(ib * B), jnp.int32(jb * B),
+                    margin, use_k1,
+                )
+    if Np != N:
+        return acc[0][:N, :N], acc[1][:N, :N]
     return acc
+
+
+@partial(jax.jit, static_argnames=("B",))
+def _slice_camera_block(images, feathers, sizes, R, K, k1, i0, B):
+    """One GAIN_BLOCK-camera slice of the stack (traced start index: one
+    executable serves every block)."""
+    return (
+        jax.lax.dynamic_slice_in_dim(images, i0, B, 0),
+        jax.lax.dynamic_slice_in_dim(feathers, i0, B, 0),
+        jax.lax.dynamic_slice_in_dim(sizes, i0, B, 0),
+        jax.lax.dynamic_slice_in_dim(R, i0, B, 0),
+        jax.lax.dynamic_slice_in_dim(K, i0, B, 0),
+        jax.lax.dynamic_slice_in_dim(k1, i0, B, 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("margin", "use_k1"))
+def _overlap_block_acc(
+    Nij, sumC, rays_pi, col_pi, own_pi, KR_j, K_j, sz_j, k1_j, c, i0, j0,
+    margin, use_k1,
+):
+    """Accumulate one (grid chunk, i-block, j-block) cell of the overlap
+    statistics. Same math as `_overlap_chunk_acc` restricted to a
+    (B, B, chunk) tensor footprint (see the block-pair rationale at the
+    call site); the chunk index and block starts are traced, so one
+    executable serves every cell."""
+    r_i = jax.lax.dynamic_index_in_dim(rays_pi, c, 0, keepdims=False)
+    col_i = jax.lax.dynamic_index_in_dim(col_pi, c, 0, keepdims=False)
+    own_i = jax.lax.dynamic_index_in_dim(own_pi, c, 0, keepdims=False)
+    B = r_i.shape[0]
+    h_v = sz_j[:, 0].astype(jnp.float32)[:, None]  # (B, 1)
+    w_v = sz_j[:, 1].astype(jnp.float32)[:, None]
+    prj = jnp.einsum("jab,icb->ijca", KR_j, r_i)  # (B, B, chunk, 3)
+    z = prj[..., 2]
+    zi = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = prj[..., 0] / zi
+    v = prj[..., 1] / zi
+    if use_k1:
+        u, v = proj.distort_pixels(
+            u, v, k1_j[None, :, None],
+            K_j[:, 0, 2][None, :, None], K_j[:, 1, 2][None, :, None],
+        )
+    vis = (
+        (z > 1e-6)
+        & (u >= margin) & (u <= w_v[None, :] - 1 - margin)
+        & (v >= margin) & (v <= h_v[None, :] - 1 - margin)
+    )
+    V = (own_i[:, None, :] & vis).astype(jnp.float32)
+    dN = jnp.sum(V, axis=-1)  # (B, B)
+    dC = jnp.einsum("ijp,ipc->ijc", V, col_i,
+                    precision=jax.lax.Precision.HIGHEST)
+    blkN = jax.lax.dynamic_slice(Nij, (i0, j0), (B, B))
+    blkC = jax.lax.dynamic_slice(sumC, (i0, j0, 0), (B, B, 3))
+    Nij = jax.lax.dynamic_update_slice(Nij, blkN + dN, (i0, j0))
+    sumC = jax.lax.dynamic_update_slice(sumC, blkC + dC, (i0, j0, 0))
+    return Nij, sumC
 
 
 @partial(jax.jit, static_argnames=("stride", "chunk", "margin", "use_k1"))
@@ -431,9 +532,32 @@ def compute_gains_rotational(
     as :func:`overlap_statistics` for the sharded psum path."""
     if not cfg.enabled:
         return np.ones((images.shape[0], 3), np.float32)
+    # N-bucket (utils/buckets.py): padded cameras carry size (0, 0) — they
+    # contribute no grid points and pass no bounds test, so their stats
+    # rows/cols stay zero and the N x N host solve simply ignores them.
+    # K pads to identity so the padded-camera math stays finite.
+    N = int(images.shape[0])
+    # floor 64 so all small datasets share the stats executable; the
+    # per-point camera-projection einsum is O(N) so a wide rung is cheap
+    Nb = buckets.coarse(N, (64, 128, 256, 512, 1024))
+    if Nb != N:
+        pad = Nb - N
+        images = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        feathers = jnp.pad(feathers, ((0, pad), (0, 0), (0, 0)))
+        sizes = np.pad(np.asarray(sizes), ((0, pad), (0, 0)))
+        R = np.concatenate(
+            [np.asarray(R, np.float32),
+             np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+        K = np.concatenate(
+            [np.asarray(K, np.float32),
+             np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+        if k1 is not None:
+            k1 = np.pad(np.asarray(k1, np.float32), (0, pad))
     Nij, sumC = overlap_statistics_imagespace(
-        images, feathers, jnp.asarray(sizes, jnp.int32), R, K,
+        images, feathers, jnp.asarray(np.asarray(sizes), jnp.int32),
+        jnp.asarray(np.asarray(R, np.float32)),
+        jnp.asarray(np.asarray(K, np.float32)),
         int(cfg.grid_stride),
         k1=None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
     )
-    return solve_gains(np.asarray(Nij), np.asarray(sumC), cfg)
+    return solve_gains(np.asarray(Nij)[:N, :N], np.asarray(sumC)[:N, :N], cfg)

@@ -31,6 +31,7 @@ from autopanostitch_tpu.models import planar as planar_stage
 from autopanostitch_tpu.models import render as render_stage
 from autopanostitch_tpu.models import straighten as straighten_stage
 from autopanostitch_tpu.ops import matching as mt
+from autopanostitch_tpu.utils import buckets
 from autopanostitch_tpu.ops import ransac as rs
 from autopanostitch_tpu.ops import sampling as samp_ops
 from autopanostitch_tpu.ops.sift import SiftFeatures
@@ -134,24 +135,42 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig, return_votes=False):
         return out + (counts,) if return_votes else out
 
     # ONE fused executable for pool + kNN + ratio test; the id/index
-    # bookkeeping stays host-side numpy (control plane, no device ops)
+    # bookkeeping stays host-side numpy (control plane, no device ops).
+    # The image axis is padded to a shape BUCKET (utils/buckets.py) so
+    # same-sized datasets share this — the most expensive matcher —
+    # executable (a 38- and a 35-photo sheet both run the N=40 program);
+    # padded rows carry mask=False and are excluded inside the kernel.
+    Nb = buckets.bucket(N)
+    desc_b, mask_b = feats.desc, feats.mask
+    if Nb != N:
+        desc_b = jnp.pad(desc_b, ((0, Nb - N), (0, 0), (0, 0)))
+        mask_b = jnp.pad(mask_b, ((0, Nb - N), (0, 0)))
     nn_idx, nn_dist, best, accepted = mt.global_match_stack(
-        feats.desc, feats.mask, k=cfg.matching.k, block=cfg.tpu.match_block,
+        desc_b, mask_b, k=cfg.matching.k, block=cfg.tpu.match_block,
         method=cfg.matching.method, compute_dtype=cfg.tpu.compute_dtype,
         ratio=cfg.matching.ratio_threshold, binary=binary,
     )
+    F = N * K
     image_id = np.repeat(np.arange(N, dtype=np.int32), K)
     local_idx = np.tile(np.arange(K, dtype=np.int32), N)
+    # neighbour indices can point at padded (masked) pool rows when a
+    # query has fewer than k valid candidates; those entries carry _BIG
+    # distance and never pass the ratio test — clip so host fancy
+    # indexing stays in bounds
+    best_h = np.clip(np.asarray(best)[:F], 0, max(F - 1, 0))
     out = mt.global_matches_to_pairs(
-        np.asarray(best),
-        np.asarray(accepted),
+        best_h,
+        np.asarray(accepted)[:F],
         image_id,
         local_idx,
         N,
         cfg.matching.max_matches_per_pair,
     )
     if return_votes:
-        votes = mt.knn_votes(nn_idx, nn_dist, image_id, N)
+        votes = mt.knn_votes(
+            np.clip(np.asarray(nn_idx)[:F], 0, max(F - 1, 0)),
+            np.asarray(nn_dist)[:F], image_id, N,
+        )
         return out + (votes,)
     return out
 
@@ -933,8 +952,8 @@ def stitch_component(
             gains = gain_stage.compute_gains_rotational(
                 images,
                 feathers,
-                jnp.asarray(R.astype(np.float32)),
-                jnp.asarray(K.astype(np.float32)),
+                R.astype(np.float32),  # host: padded to the N bucket inside
+                K.astype(np.float32),
                 sizes,
                 cfg.gain,
                 k1=k1,

@@ -103,24 +103,58 @@ def _bounds_per_camera(
 def _auto_ref_areas(
     R: Array, K: Array, sizes: Array, mode: str, uv_abs_cap: float,
     nx: int = 48, ny: int = 32, pct_lo: float = 1.0, pct_hi: float = 99.0,
-    k1: Array | None = None,
+    k1: Array | None = None, valid: Array | None = None,
 ):
     """(N,) canvas area with camera n as the reference — ONE executable.
 
     The reference's autoRef loop (`renderPanorama.m:84-122`) evaluates each
     candidate's bounds separately; a host loop over `_bounds_per_camera`
     paid one relay dispatch per candidate (~25 ms x N). vmap over the
-    candidate axis folds the whole search into one dispatch."""
+    candidate axis folds the whole search into one dispatch.
+
+    `valid` marks real cameras when the stack is padded to an N bucket
+    (`_pad_cameras`): padded rows are excluded from the extent max/min and
+    their own candidate areas come out as garbage — the caller slices/
+    masks them before the argmin."""
+    if valid is None:
+        valid = jnp.ones((R.shape[0],), bool)
 
     def one_ref(R_ref):
         b = _bounds_per_camera(
             R, K, sizes, mode, R_ref, uv_abs_cap, nx, ny, pct_lo, pct_hi, k1
         )
-        du = jnp.max(b[:, 1]) - jnp.min(b[:, 0])
-        dv = jnp.max(b[:, 3]) - jnp.min(b[:, 2])
+        du = (jnp.max(jnp.where(valid, b[:, 1], -jnp.inf))
+              - jnp.min(jnp.where(valid, b[:, 0], jnp.inf)))
+        dv = (jnp.max(jnp.where(valid, b[:, 3], -jnp.inf))
+              - jnp.min(jnp.where(valid, b[:, 2], jnp.inf)))
         return du * dv
 
     return jax.vmap(one_ref)(R)
+
+
+def _pad_cameras(R, K, sizes, k1):
+    """Host-pad a camera stack to its N bucket (utils/buckets.py) so the
+    bounds/auto-ref executables are shared across same-bucket datasets.
+    Padded cameras carry identity R/K and size (0, 0); callers slice the
+    results back to the real N. Returns (Rp, Kp, sizesp, k1p, N, Nb)."""
+    from autopanostitch_tpu.utils import buckets
+
+    R = np.asarray(R, np.float32)
+    K = np.asarray(K, np.float32)
+    sizes = np.asarray(sizes)
+    N = int(R.shape[0])
+    # wide rungs: the bounds grid math is O(N x samples), trivial — share
+    # one executable across every <=64-camera dataset
+    Nb = buckets.coarse(N, (64, 128, 256, 512, 1024))
+    if Nb == N:
+        return R, K, sizes, k1, N, Nb
+    pad = Nb - N
+    eye = np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))
+    Rp = np.concatenate([R, eye])
+    Kp = np.concatenate([K, eye])
+    sizesp = np.pad(sizes, ((0, pad), (0, 0)))
+    k1p = None if k1 is None else np.pad(np.asarray(k1, np.float32), (0, pad))
+    return Rp, Kp, sizesp, k1p, N, Nb
 
 
 def _memory_fit_pixels(margin_bytes: float = 256e6, frac: float = 0.8):
@@ -154,17 +188,19 @@ def compute_canvas(
     N = len(sizes)
     f_pan = float(K[ref_idx if ref_idx is not None else 0][0, 0])
     needs_ref = mode in ("planar", "perspective", "stereographic")
-    k1_d = None if k1 is None else jnp.asarray(np.asarray(k1, np.float32))
+    Rp, Kp, sizesp, k1p, _, Nb = _pad_cameras(R, K, sizes, k1)
+    k1_d = None if k1p is None else jnp.asarray(k1p)
+    valid_d = jnp.asarray(np.arange(Nb) < N)
 
     if needs_ref and cfg.auto_ref and ref_idx is None:
         areas = np.asarray(
             _auto_ref_areas(
-                jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
+                jnp.asarray(Rp), jnp.asarray(Kp), jnp.asarray(sizesp, np.int32),
                 mode, cfg.uv_abs_cap,
                 pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
-                k1=k1_d,
+                k1=k1_d, valid=valid_d,
             )
-        )
+        )[:N]
         # first finite minimum, index 0 if none finite — same pick as the
         # old per-candidate host loop
         areas = np.where(np.isfinite(areas), areas, np.inf)
@@ -176,12 +212,12 @@ def compute_canvas(
 
     b = np.asarray(
         _bounds_per_camera(
-            jnp.asarray(R), jnp.asarray(K), jnp.asarray(sizes, np.int32),
+            jnp.asarray(Rp), jnp.asarray(Kp), jnp.asarray(sizesp, np.int32),
             mode, jnp.asarray(R_ref), cfg.uv_abs_cap,
             pct_lo=cfg.robust_pct[0], pct_hi=cfg.robust_pct[1],
             k1=k1_d,
         )
-    )
+    )[:N]
     u0, u1 = float(b[:, 0].min()), float(b[:, 1].max())
     v0, v1 = float(b[:, 2].min()), float(b[:, 3].max())
 
@@ -417,7 +453,7 @@ def render_tile(
 @partial(
     jax.jit,
     static_argnames=(
-        "mode", "tr", "tc", "tile_h", "tile_w", "blend_mode", "bands", "interp",
+        "mode", "tile_h", "tile_w", "blend_mode", "bands", "interp",
     ),
 )
 def _render_tiles_batched(
@@ -429,13 +465,12 @@ def _render_tiles_batched(
     sel: Array,  # (T, C)
     sel_ok: Array,  # (T, C)
     origins: Array,  # (T, 2)
+    real_t: Array,  # (T,) bool — False = T-bucket padding tile (skipped)
     f_pan,
     x0,
     y0,
     R_ref: Array,
     mode: str,
-    tr: int,
-    tc: int,
     tile_h: int,
     tile_w: int,
     blend_mode: str,
@@ -444,36 +479,43 @@ def _render_tiles_batched(
     interp: str,
     k1: Array | None = None,
 ):
-    """ALL canvas tiles in one dispatch: lax.map over the tile kernel, then
-    device-side canvas assembly. One executable + ONE uint8 device->host
-    pull per panorama instead of one dispatch + pull per tile (each pull
-    through the TPU relay costs ~27 ms of sync; at 100-image scale the
-    per-tile version spent more time syncing than sampling). Memory stays
-    bounded: lax.map runs tiles sequentially, the only O(canvas) buffers
-    are the uint8 output and bool coverage. The feather concat happens
-    inside this executable (a separate eager concat cost one more relay
-    AOT round-trip per fresh shape)."""
+    """ALL canvas tiles in one dispatch: lax.map over the tile kernel.
+
+    One executable + ONE uint8 device->host pull per panorama instead of
+    one dispatch + pull per tile (each pull through the TPU relay costs
+    ~27 ms of sync; at 100-image scale the per-tile version spent more
+    time syncing than sampling). Memory stays bounded: lax.map runs tiles
+    sequentially, the only O(canvas) buffers are the uint8 tile stack and
+    bool coverage. The feather concat happens inside this executable (a
+    separate eager concat cost one more relay AOT round-trip per fresh
+    shape).
+
+    SHAPE BUCKETS (utils/buckets.py): this program's key is
+    (N, H, W, C, T_bucket, tile, mode, blend...) — the CANVAS dimensions
+    are deliberately absent. Tiles come back as a (T, th, tw) stack and
+    the canvas is assembled on HOST (same bytes pulled either way), so
+    datasets that differ only in panorama extent share the one expensive
+    render program. The tile count is padded to a bucket; padding tiles
+    are lax.cond-skipped at ~zero runtime."""
     images4 = jnp.concatenate([images, feathers[..., None]], axis=-1)
 
     def one(args):
-        s, ok, org = args
-        return _render_tile_impl(
-            images4, R, K, gains, s, ok, org, f_pan, x0, y0, R_ref,
-            mode, tile_h, tile_w, blend_mode, bands, angle_power, interp, k1,
-        )
+        s, ok, org, real = args
 
-    tiles, covs = jax.lax.map(one, (sel, sel_ok, origins))
-    pano = (
-        tiles.reshape(tr, tc, tile_h, tile_w, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(tr * tile_h, tc * tile_w, 3)
-    )
-    cover = (
-        covs.reshape(tr, tc, tile_h, tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(tr * tile_h, tc * tile_w)
-    )
-    return pano, cover
+        def run(_):
+            return _render_tile_impl(
+                images4, R, K, gains, s, ok, org, f_pan, x0, y0, R_ref,
+                mode, tile_h, tile_w, blend_mode, bands, angle_power,
+                interp, k1,
+            )
+
+        def skip(_):
+            return (jnp.zeros((tile_h, tile_w, 3), jnp.uint8),
+                    jnp.zeros((tile_h, tile_w), bool))
+
+        return jax.lax.cond(real, run, skip, 0)
+
+    return jax.lax.map(one, (sel, sel_ok, origins, real_t))
 
 
 @jax.jit
@@ -481,15 +523,6 @@ def _concat_feather(images: Array, feathers: Array) -> Array:
     return jnp.concatenate([images, feathers[..., None]], axis=-1)
 
 
-def fit_tile(size: int, tmax: int) -> int:
-    """Fit tiles to the canvas so padding never dominates: split the
-    dimension into the fewest tiles of size <= tmax, each rounded up to 32
-    (a 626-row canvas under fixed 512-row tiles computed 2x512 rows — 63%
-    dead; fitted 2x320 wastes 2%). Shared by the single-chip renderer and
-    `parallel.sharded.sharded_render_tiles` — their bit-identical-output
-    guarantee depends on an identical tile grid."""
-    n = max(1, (size + tmax - 1) // tmax)
-    return ((-(-size // n) + 31) // 32) * 32
 
 
 def tile_contributors(
@@ -510,19 +543,20 @@ def tile_contributors(
     Hc, Wc = canvas["Hc"], canvas["Wc"]
     th, tw = tile
     f_pan, x0, y0 = canvas["f_pan"], canvas["x0"], canvas["y0"]
+    Rp, Kp, sizesp, k1p, N_real, _ = _pad_cameras(R, K, sizes, k1)
     b = np.asarray(
         _bounds_per_camera(
-            jnp.asarray(R.astype(np.float32)),
-            jnp.asarray(K.astype(np.float32)),
-            jnp.asarray(sizes, np.int32),
+            jnp.asarray(Rp),
+            jnp.asarray(Kp),
+            jnp.asarray(sizesp, np.int32),
             mode,
             jnp.asarray(canvas["R_ref"]),
             # same cap the canvas was computed with, so contributor bounds
             # stay consistent with canvas bounds under a configured cap
             float(canvas.get("uv_abs_cap", 8.0)),
-            k1=None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
+            k1=None if k1p is None else jnp.asarray(k1p),
         )
-    )  # (N, 4) surface coords
+    )[:N_real]  # (N, 4) surface coords
     # to canvas pixels
     px = (b[:, :2] - x0) * f_pan  # (N, 2) [umin, umax]
     py = (b[:, 2:] - y0) * f_pan
@@ -569,8 +603,24 @@ def tile_contributors(
         need = max(
             int(len(set(row[row >= 0].tolist()))) for row in fine
         ) if fine.size else 4
-        max_contributors = int(np.clip(need, 4, 16))
+        # COVERAGE lower bound: the probe's distinct-best count saturates
+        # at its grid resolution, and on a ring much denser than one tile
+        # (camera footprint << tile span) it under-counts — the selected
+        # cameras' feather ramps then die before the next one starts
+        # (measured: 48-view ring, fixed 384-px tiles, probe said C=4 and
+        # whole columns went uncovered). A contributor roughly every HALF
+        # camera footprint keeps adjacent feathers overlapping.
+        wm = float(np.median(px[:, 1] - px[:, 0]))
+        hm = float(np.median(py[:, 1] - py[:, 0]))
+        need_h = int(np.ceil(tw / max(wm * 0.5, 1.0)))
+        need_v = int(np.ceil(th / max(hm * 0.5, 1.0)))
+        need = max(need, need_h * need_v)
+        need = int(np.clip(need, 4, 16))
+        # ladder, not exact: C keys the tile-render executable, so nearby
+        # needs (6 vs 7) should share a program (utils/buckets.py)
+        max_contributors = next(c for c in (4, 6, 8, 12, 16) if c >= need)
     C = max_contributors
+    tile_contributors.last_C = C  # consumed by bench MFU accounting
     # Per-SEGMENT selection: a tile can span more of the panorama than one
     # camera's FOV, and the top-C cameras by WHOLE-TILE overlap then
     # cluster on one side, leaving the rest of the tile uncovered
@@ -631,14 +681,15 @@ def render_rotational(
     """Full rotational panorama: ONE jitted dispatch mapping the tile
     kernel over all canvas tiles, with per-tile contributor culling (cost
     O(canvas x C), C <= 8, instead of O(canvas x N)) and a single uint8
-    device->host pull.
+    device->host pull (the tile stack; the canvas is assembled on host so
+    the render program's shape key is canvas-independent — see
+    `_render_tiles_batched`).
 
     Returns (panorama (Hc, Wc, 3) uint8, coverage (Hc, Wc) bool).
     """
     Hc, Wc = canvas["Hc"], canvas["Wc"]
 
-    th = fit_tile(Hc, tile[0])
-    tw = fit_tile(Wc, tile[1])
+    th, tw = tile  # FIXED tile shape: shared executable across canvases
     n = images.shape[0]
     if gains is None:
         gains = np.ones((n, 3), np.float32)
@@ -648,23 +699,75 @@ def render_rotational(
     sel, sel_ok, origins = tile_contributors(
         canvas, R, K, sizes, (th, tw), C_arg, k1=k1
     )
-    C = sel.shape[1]
+    T = sel.shape[0]
 
-    R_d = jnp.asarray(R.astype(np.float32))
-    K_d = jnp.asarray(K.astype(np.float32))
+    # shape buckets (utils/buckets.py): N to a coarse rung (gather source
+    # only), T to the fine grid with cond-skipped padding tiles
+    from autopanostitch_tpu.utils import buckets
+
+    Nc = buckets.coarse(n)
+    if Nc != n:
+        pad = Nc - n
+        eye = np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))
+        # images/feathers are usually DEVICE-resident: pad on device (one
+        # tiny eager executable) — pulling the stack to host would cost a
+        # full relay round-trip of O(100 MB)
+        if isinstance(images, np.ndarray):
+            images = np.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+            feathers = np.pad(feathers, ((0, pad),) + ((0, 0),) * (feathers.ndim - 1))
+        else:
+            images = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+            feathers = jnp.pad(feathers, ((0, pad),) + ((0, 0),) * (feathers.ndim - 1))
+        R = np.concatenate([np.asarray(R, np.float32), eye])
+        K = np.concatenate([np.asarray(K, np.float32), eye])
+        gains = np.concatenate([gains, np.ones((pad, 3), np.float32)])
+        if k1 is not None:
+            k1 = np.pad(np.asarray(k1, np.float32), (0, pad))
+    # coarse tile-count rungs: padding tiles are cond-skipped on device
+    # and sliced off before the host pull, so wide rungs cost ~nothing
+    Tb = buckets.coarse(T, (32, 128, 512))
+    if Tb != T:
+        sel = np.pad(sel, ((0, Tb - T), (0, 0)))
+        sel_ok = np.pad(sel_ok, ((0, Tb - T), (0, 0)))
+        origins = np.pad(origins, ((0, Tb - T), (0, 0)))
+    real_t = np.arange(Tb) < T
+
+    R_d = jnp.asarray(np.asarray(R, np.float32))
+    K_d = jnp.asarray(np.asarray(K, np.float32))
     g_d = jnp.asarray(gains.astype(np.float32))
     R_ref = jnp.asarray(canvas["R_ref"])
 
-    tr = (Hc + th - 1) // th
-    tc = (Wc + tw - 1) // tw
-    pano_d, cover_d = _render_tiles_batched(
+    tiles_d, covs_d = _render_tiles_batched(
         jnp.asarray(images), jnp.asarray(feathers), R_d, K_d, g_d,
         jnp.asarray(sel), jnp.asarray(sel_ok), jnp.asarray(origins),
+        jnp.asarray(real_t),
         canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
-        canvas["mode"], tr, tc, th, tw, blend_mode, bands, angle_power,
+        canvas["mode"], th, tw, blend_mode, bands, angle_power,
         interp,
         None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
     )
-    pano = np.asarray(pano_d)[:Hc, :Wc]
-    cover = np.asarray(cover_d)[:Hc, :Wc]
+    if Tb != T:  # drop padding tiles on device: the relay pull is ~15 MB/s
+        tiles_d = tiles_d[:T]
+        covs_d = covs_d[:T]
+    return assemble_tiles(
+        np.asarray(tiles_d), np.asarray(covs_d), origins[:T], Hc, Wc
+    )
+
+
+def assemble_tiles(tiles: np.ndarray, covs: np.ndarray, origins: np.ndarray,
+                   Hc: int, Wc: int):
+    """Host canvas assembly from the pulled tile stack (same bytes as a
+    device-assembled canvas; keeps canvas dims out of the render
+    executable's shape key)."""
+    th, tw = covs.shape[1:3]
+    pano = np.zeros((Hc, Wc, 3), np.uint8)
+    cover = np.zeros((Hc, Wc), bool)
+    for t in range(len(origins)):  # tiles may carry T-bucket padding rows
+        ox, oy = int(origins[t, 0]), int(origins[t, 1])
+        h = min(th, Hc - oy)
+        w = min(tw, Wc - ox)
+        if h <= 0 or w <= 0:
+            continue
+        pano[oy : oy + h, ox : ox + w] = tiles[t, :h, :w]
+        cover[oy : oy + h, ox : ox + w] = covs[t, :h, :w]
     return pano, cover

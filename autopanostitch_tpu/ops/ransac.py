@@ -483,7 +483,12 @@ def verify_pairs(
         # datasets (compute on the padded, all-masked pairs is cheap).
         per_pair = 12.0 * min(batch, total) * M  # err+gumbel+idx f32
         cap = max(32, int(1.5e9 / per_pair))
-        chunk = min(_bucket_1p5(P), _bucket_1p5_floor(cap))
+        # floor 256: every dataset with <= 256 candidate pairs shares ONE
+        # (256, B, M) executable (a 38- and a 35-photo sheet otherwise
+        # landed on different chunk rungs and each paid the ~30 s verify
+        # compile); the masked-pad compute is bounded by the floor
+        chunk = min(max(256, _bucket_1p5(P)) if P <= 256 else _bucket_1p5(P),
+                    _bucket_1p5_floor(cap))
 
     scalar_args = (
         np.float32(threshold), np.float32(accept_alpha),
@@ -503,7 +508,9 @@ def verify_pairs(
         ~0.2 s/chunk vs ~0.03 s of actual compute). Outputs sync once at
         the end (they are small: the (P, M) inlier masks dominate)."""
         Pq = pm.shape[0]
-        ch = max(1, min(chunk, Pq))
+        # do NOT clamp the chunk down to Pq: the floor-256 rung is what
+        # lets small datasets share one executable (masked pad pairs)
+        ch = max(1, chunk)
         nch = (Pq + ch - 1) // ch
         Ppad = nch * ch
         xp = np if host else jnp

@@ -240,12 +240,13 @@ def sharded_render_tiles(
     import numpy as np
 
     from autopanostitch_tpu.models.render import (
-        _render_tile_impl, fit_tile, tile_contributors,
+        _render_tile_impl, assemble_tiles, tile_contributors,
     )
 
     Hc, Wc = canvas["Hc"], canvas["Wc"]
-    th = fit_tile(Hc, tile[0])
-    tw = fit_tile(Wc, tile[1])
+    # FIXED tile shape — must match render_rotational's grid exactly (the
+    # single-chip/sharded bit-identical guarantee rides on identical tiles)
+    th, tw = tile
     N = images.shape[0]
     if gains is None:
         gains = np.ones((N, 3), np.float32)
@@ -312,19 +313,7 @@ def sharded_render_tiles(
     )
     tiles = np.asarray(tiles)[inv][:T]
     covs = np.asarray(covs)[inv][:T]
-    tr = (Hc + th - 1) // th
-    tc = (Wc + tw - 1) // tw
-    pano = (
-        tiles.reshape(tr, tc, th, tw, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(tr * th, tc * tw, 3)[:Hc, :Wc]
-    )
-    cover = (
-        covs.reshape(tr, tc, th, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(tr * th, tc * tw)[:Hc, :Wc]
-    )
-    return pano, cover
+    return assemble_tiles(tiles, covs, origins[:T], Hc, Wc)
 
 
 def sharded_gain_stats_imagespace(

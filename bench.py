@@ -293,9 +293,15 @@ def _pano_mfu(res, cfg, stage_device, n_views, h, w):
     grid = (h // cfg.gain.grid_stride) * (w // cfg.gain.grid_stride)
     stage_flops["gain"] = fl.gain_flops(n_views, grid)
     if res.panoramas:
+        from autopanostitch_tpu.models.render import tile_contributors
+
         pano0 = next(iter(res.panoramas[0]["projections"].values()))
+        # max_contributors=None means auto-sized: read the C the renderer
+        # actually chose (recorded by tile_contributors)
+        c_eff = (cfg.render.max_contributors
+                 or getattr(tile_contributors, "last_C", 8))
         stage_flops["render:spherical"] = fl.render_flops(
-            pano0.shape[0] * pano0.shape[1], cfg.render.max_contributors)
+            pano0.shape[0] * pano0.shape[1], c_eff)
     mfu = {}
     for k, f in stage_flops.items():
         t = stage_device.get(k, 0.0)
@@ -409,8 +415,11 @@ def bench_pano(pipeline, b, light=False):
         f"{pre}_dispatch_count": dispatch_counts,
     }
     h, w = stack.shape[1], stack.shape[2]
-    for k, v in _pano_mfu(res, cfg, stage_device, n_views, h, w).items():
-        out[f"{pre}_{k}"] = v
+    try:  # accounting only — never lose the section's headline numbers
+        for k, v in _pano_mfu(res, cfg, stage_device, n_views, h, w).items():
+            out[f"{pre}_{k}"] = v
+    except Exception as e:
+        out[f"{pre}_mfu_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -556,22 +565,33 @@ def main():
             "MATLAB reference publishes no numbers (BASELINE.md)"
         )
 
+    # Wave ORDER exploits the shape-bucketed executable sharing
+    # (utils/buckets.py): pano200 reuses most of pano100's programs
+    # (~137 s marginal vs ~230 s cold), grandcanyon reuses cmu0's (~30 s
+    # marginal vs ~200 s cold) — so the cross-dataset sections go in
+    # LATER waves than the datasets they share with. yellowstone's tiles
+    # are natively 256x256 (the others are 160x160), so it shares little
+    # and goes last (skipped on tight budgets).
     waves = [
         [  # wave 1: the scoreboard metrics
             ("6view", sec_6view, 40),
             ("pano100", lambda: _out.update(bench_pano(pipeline, built["pano100"])), 75),
-            ("cmu0", lambda: bench_cmu0(pipeline, built["cmu0"], _out), 90),
-            ("church", lambda: bench_church(pipeline, built["church"], _out), 30),
         ],
-        [  # wave 2: scaling + remaining real-photo sheets. pano200 runs
-            # LIGHT (one timed stitch + PSNR) so the wave fits the budget
+        [  # wave 2: primary real-photo evidence
+            ("cmu0", lambda: bench_cmu0(pipeline, built["cmu0"], _out), 30),
+            ("church", lambda: bench_church(pipeline, built["church"], _out), 15),
+        ],
+        [  # wave 3: scale + second sheet, riding wave-1/2 executables.
+            # pano200 runs LIGHT (one timed stitch + PSNR)
             ("pano200",
              lambda: _out.update(
-                 bench_pano(pipeline, built["pano200"], light=True)), 45),
+                 bench_pano(pipeline, built["pano200"], light=True)), 30),
             ("grandcanyon",
-             lambda: bench_sheet_named(pipeline, built["grandcanyon"], _out, "grandcanyon"), 45),
+             lambda: bench_sheet_named(pipeline, built["grandcanyon"], _out, "grandcanyon"), 20),
+        ],
+        [  # wave 4: the odd-resolution sheet (its own compiles)
             ("yellowstone",
-             lambda: bench_sheet_named(pipeline, built["yellowstone"], _out, "yellowstone"), 45),
+             lambda: bench_sheet_named(pipeline, built["yellowstone"], _out, "yellowstone"), 30),
         ],
     ]
 
@@ -610,7 +630,7 @@ def main():
         t0 = time.time()
         # deadline caps keep prewarm from eating the wave-2 sections'
         # budget (r4: a 479 s prewarm left no room for pano200/sheets)
-        cap = 330.0 if wi == 0 else 240.0
+        cap = (280.0, 250.0, 180.0, 140.0)[min(wi, 3)]
         prewarm_deadline = time.time() + max(
             30.0, min(cap, _left() * (0.5 if wi == 0 else 0.6)))
         warm_threads = {

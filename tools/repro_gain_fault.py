@@ -34,7 +34,13 @@ def main():
     from autopanostitch_tpu.models import gain
 
     rng = np.random.default_rng(0)
-    h, w = 96, 128
+    # accepts "HxW" as argv[3]: the fault is SHAPE-dependent — the r4
+    # grid-chunk host loop survived 96x128 views up to N=256 but crashed
+    # at pano200's 288x384 (2026-08-21), which is why the production path
+    # is now block-pair accumulation (gain.GAIN_BLOCK)
+    h, w = (96, 128)
+    if len(sys.argv) > 3:
+        h, w = (int(x) for x in sys.argv[3].split("x"))
     images = jnp.asarray(rng.random((n, h, w, 3), np.float32))
     feathers = jnp.ones((n, h, w), jnp.float32)
     sizes = np.tile(np.array([h, w], np.int32), (n, 1))
