@@ -33,6 +33,10 @@ from autopanostitch_tpu.ops import sampling as samp
 
 Array = jax.Array
 
+# tiles per render dispatch: fixed, so the tile-render executable's shape
+# key is independent of the canvas/tile count (see render_rotational)
+TILE_BLOCK = 8
+
 
 # ---------------------------------------------------------------------------
 # Bounds & canvas sizing
@@ -702,7 +706,8 @@ def render_rotational(
     T = sel.shape[0]
 
     # shape buckets (utils/buckets.py): N to a coarse rung (gather source
-    # only), T to the fine grid with cond-skipped padding tiles
+    # only); tiles dispatch in fixed blocks of TILE_BLOCK so the tile
+    # count never enters the executable's shape key
     from autopanostitch_tpu.utils import buckets
 
     Nc = buckets.coarse(n)
@@ -723,35 +728,42 @@ def render_rotational(
         gains = np.concatenate([gains, np.ones((pad, 3), np.float32)])
         if k1 is not None:
             k1 = np.pad(np.asarray(k1, np.float32), (0, pad))
-    # coarse tile-count rungs: padding tiles are cond-skipped on device
-    # and sliced off before the host pull, so wide rungs cost ~nothing
-    Tb = buckets.coarse(T, (32, 128, 512))
-    if Tb != T:
-        sel = np.pad(sel, ((0, Tb - T), (0, 0)))
-        sel_ok = np.pad(sel_ok, ((0, Tb - T), (0, 0)))
-        origins = np.pad(origins, ((0, Tb - T), (0, 0)))
-    real_t = np.arange(Tb) < T
+    # fixed TILE_BLOCK-tile dispatches: the tile count never enters the
+    # executable key (a coarse T rung was tried first, but its
+    # "cond-skipped" padding tiles measured ~3-8 ms each — the branches
+    # lower to both-sides select under the tile map — so wide rungs taxed
+    # small canvases hard). <= TILE_BLOCK-1 padding tiles total, and the
+    # per-block device->host pulls overlap block compute.
+    nblocks = (T + TILE_BLOCK - 1) // TILE_BLOCK
+    Tp = nblocks * TILE_BLOCK
+    if Tp != T:
+        sel = np.pad(sel, ((0, Tp - T), (0, 0)))
+        sel_ok = np.pad(sel_ok, ((0, Tp - T), (0, 0)))
+        origins = np.pad(origins, ((0, Tp - T), (0, 0)))
+    real_t = np.arange(Tp) < T
 
     R_d = jnp.asarray(np.asarray(R, np.float32))
     K_d = jnp.asarray(np.asarray(K, np.float32))
     g_d = jnp.asarray(gains.astype(np.float32))
     R_ref = jnp.asarray(canvas["R_ref"])
+    k1_d = None if k1 is None else jnp.asarray(np.asarray(k1, np.float32))
+    img_d = jnp.asarray(images)
+    fea_d = jnp.asarray(feathers)
 
-    tiles_d, covs_d = _render_tiles_batched(
-        jnp.asarray(images), jnp.asarray(feathers), R_d, K_d, g_d,
-        jnp.asarray(sel), jnp.asarray(sel_ok), jnp.asarray(origins),
-        jnp.asarray(real_t),
-        canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
-        canvas["mode"], th, tw, blend_mode, bands, angle_power,
-        interp,
-        None if k1 is None else jnp.asarray(np.asarray(k1, np.float32)),
-    )
-    if Tb != T:  # drop padding tiles on device: the relay pull is ~15 MB/s
-        tiles_d = tiles_d[:T]
-        covs_d = covs_d[:T]
-    return assemble_tiles(
-        np.asarray(tiles_d), np.asarray(covs_d), origins[:T], Hc, Wc
-    )
+    blocks = []
+    for bstart in range(0, Tp, TILE_BLOCK):
+        bsl = slice(bstart, bstart + TILE_BLOCK)
+        blocks.append(_render_tiles_batched(
+            img_d, fea_d, R_d, K_d, g_d,
+            jnp.asarray(sel[bsl]), jnp.asarray(sel_ok[bsl]),
+            jnp.asarray(origins[bsl]), jnp.asarray(real_t[bsl]),
+            canvas["f_pan"], canvas["x0"], canvas["y0"], R_ref,
+            canvas["mode"], th, tw, blend_mode, bands, angle_power,
+            interp, k1_d,
+        ))
+    tiles = np.concatenate([np.asarray(t) for t, _ in blocks])[:T]
+    covs = np.concatenate([np.asarray(c) for _, c in blocks])[:T]
+    return assemble_tiles(tiles, covs, origins[:T], Hc, Wc)
 
 
 def assemble_tiles(tiles: np.ndarray, covs: np.ndarray, origins: np.ndarray,

@@ -483,12 +483,18 @@ def verify_pairs(
         # datasets (compute on the padded, all-masked pairs is cheap).
         per_pair = 12.0 * min(batch, total) * M  # err+gumbel+idx f32
         cap = max(32, int(1.5e9 / per_pair))
-        # floor 256: every dataset with <= 256 candidate pairs shares ONE
-        # (256, B, M) executable (a 38- and a 35-photo sheet otherwise
-        # landed on different chunk rungs and each paid the ~30 s verify
-        # compile); the masked-pad compute is bounded by the floor
-        chunk = min(max(256, _bucket_1p5(P)) if P <= 256 else _bucket_1p5(P),
-                    _bucket_1p5_floor(cap))
+        # three wide rungs, then the {1,1.5} grid: small sets (a 6-view
+        # ring, 15 pairs) share the 32-rung without paying a 256-pad
+        # 17x compute tax, and every 33..192-pair sheet shares the
+        # 192-rung (a 38- and a 35-photo sheet landed on 128 vs 192 with
+        # plain {1,1.5} bucketing and each paid the ~30 s verify compile)
+        if P <= 32:
+            chunk_p = 32
+        elif P <= 192:
+            chunk_p = 192
+        else:
+            chunk_p = _bucket_1p5(P)
+        chunk = min(chunk_p, _bucket_1p5_floor(cap))
 
     scalar_args = (
         np.float32(threshold), np.float32(accept_alpha),
