@@ -167,11 +167,21 @@ def match_features(feats: SiftFeatures, cfg: StitchConfig, return_votes=False):
         cfg.matching.max_matches_per_pair,
     )
     if return_votes:
-        votes = mt.knn_votes(
-            np.clip(np.asarray(nn_idx)[:F], 0, max(F - 1, 0)),
-            np.asarray(nn_dist)[:F], image_id, N,
-        )
-        return out + (votes,)
+        # LAZY: the vote matrix is only consulted when discovery
+        # fragments (see _rescue_suspicious early-outs), and pulling the
+        # (F, k) neighbour arrays through the relay costs ~0.1 s — so the
+        # healthy-panorama path never pays for it
+        memo = {}
+
+        def votes_fn():
+            if "v" not in memo:
+                memo["v"] = mt.knn_votes(
+                    np.clip(np.asarray(nn_idx)[:F], 0, max(F - 1, 0)),
+                    np.asarray(nn_dist)[:F], image_id, N,
+                )
+            return memo["v"]
+
+        return out + (votes_fn,)
     return out
 
 
@@ -263,6 +273,14 @@ def verify_matches(
     )
 
 
+def _votes_arr(votes):
+    """Resolve a votes argument: None | (N, N) ndarray | zero-arg callable
+    returning one (the lazy global-matcher form — see match_features)."""
+    if callable(votes):
+        return votes()
+    return votes
+
+
 def _vote_candidate_pairs(votes: np.ndarray, m: int) -> np.ndarray:
     """Top-m neighbours per image by kNN votes -> (P, 2) i<j pair list."""
     n = votes.shape[0]
@@ -278,7 +296,7 @@ def _vote_candidate_pairs(votes: np.ndarray, m: int) -> np.ndarray:
 
 
 def _rescue_suspicious(
-    comps: np.ndarray, votes: Optional[np.ndarray], graph: "MatchGraph"
+    comps: np.ndarray, votes, graph: "MatchGraph"
 ) -> bool:
     """True when the component split looks like ratio starvation.
 
@@ -299,6 +317,7 @@ def _rescue_suspicious(
         return False
     if bool((cnt <= 2).any()):
         return True
+    votes = _votes_arr(votes)
     if votes is None:
         return False
     cross = comps[:, None] != comps[None, :]
@@ -317,7 +336,7 @@ def pairwise_rescue(
     n: int,
     cfg: StitchConfig,
     key: jax.Array,
-    votes: Optional[np.ndarray] = None,
+    votes=None,  # (N, N) ndarray | lazy zero-arg callable | None
 ):
     """Recover match graphs the pooled global ratio test starved.
 
@@ -363,9 +382,10 @@ def pairwise_rescue(
         )
         p2, pi2, pm2, c2 = match_features(feats, cfg_pw)
     else:
-        if votes is None:  # no vote signal (e.g. cached graph): skip
+        votes_a = _votes_arr(votes)
+        if votes_a is None:  # no vote signal (e.g. cached graph): skip
             return graph, comps, False
-        cand = _vote_candidate_pairs(votes, cfg.matching.pairwise_rescue_m)
+        cand = _vote_candidate_pairs(votes_a, cfg.matching.pairwise_rescue_m)
         acc = np.asarray(graph.pairs)[np.asarray(graph.accepted, bool)]
         if len(acc):
             cand = np.unique(np.concatenate([cand, acc.astype(np.int32)]), axis=0)
