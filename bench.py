@@ -20,17 +20,21 @@ JSON line was printed, leaving the round without an official number):
     handlers, and a SIGALRM scheduled at the budget horizon all print the
     checkpointed dict exactly once — even if a section hangs or the driver
     kills the process.
-  - PARALLEL PREWARM IN TWO WAVES: each wave's pipelines are first run
-    once in concurrent threads (the axon relay compiles DISTINCT
-    executables concurrently, measured ~3x for 3 threads, and its
-    per-executable AOT latency swings minute-to-minute, so overlapping
-    compiles both shortens and de-risks the run); the measured sections
-    then hit warm caches. Waves exist for CRASH ISOLATION: one TPU
-    worker crash poisons every in-flight dispatch, so the headline
-    sections (wave 1) are prewarmed AND measured before the heavier
-    wave-2 workloads ever touch the chip, and each measured section
-    retries once after an UNAVAILABLE (the worker restarts in under a
-    minute and the client reconnects on the next dispatch).
+  - ONE PARALLEL PREWARM WAVE: every section's pipeline runs once in
+    concurrent threads (the axon relay compiles DISTINCT executables
+    concurrently, measured ~3x for 3 threads, and its per-executable AOT
+    latency swings minute-to-minute, so overlapping compiles both
+    shortens and de-risks the run); the measured sections then hit warm
+    caches, in priority order, and the headline timings are RE-MEASURED
+    quietly after every warm thread has finished (early sections
+    otherwise time against background AOT traffic). Shape bucketing
+    (utils/buckets.py) keeps the executable UNION small enough to
+    compile inside one window — r4/r5's serial crash-isolation waves
+    never fit their later sections into the budget; the gain kernel
+    fault that motivated the isolation is fixed at the root
+    (models/gain.py GAIN_BLOCK). Each measured section still retries
+    once after an UNAVAILABLE (the worker restarts in under a minute and
+    the client reconnects on the next dispatch).
 
 vs_baseline: measured against this repo's ROUND-2 driver-captured number
 (1.111 Mpix/s, BENCH_r02.json) — the reference publishes no numbers
